@@ -1,0 +1,131 @@
+"""End-to-end slice: 2-link planar robot + obstacles -> DiffCo fit ->
+trajectory optimization -> ground-truth validation (the reference's
+scripts/2d_trajopt.py pipeline, fully on device)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffco_tpu import kernels
+from diffco_tpu.perceptron import DiffCo
+from diffco_tpu.geometry import (
+    Obstacles2D, planar_robot_signed_dist, planar_robot_collision)
+from diffco_tpu.robots import RevolutePlanarRobot
+from diffco_tpu import optim, utils
+
+
+@pytest.fixture(scope='module')
+def world():
+    robot = RevolutePlanarRobot(1.0, link_width=0.3, dof=2)
+    obs = Obstacles2D.from_obstacle_list([
+        ('circle', (1.7, 1.2), 0.6),
+        ('rect', (-1.2, -1.2), (1.0, 1.0)),
+    ])
+    key = jax.random.PRNGKey(42)
+    q = robot.rand_configs(1500, key)
+    sd = planar_robot_signed_dist(robot, obs, q)
+    labels = (jnp.max(sd, axis=-1) > 0) * 2.0 - 1.0
+    clf = DiffCo(kernel_func=kernels.RQKernel(10.0))
+    clf.train(q, labels, max_iteration=3000)
+    clf.fit_poly(kernels.Polyharmonic(1, 1), target='label')
+
+    def dist_est(p):
+        return clf.poly_score(p).reshape(-1)
+
+    return robot, obs, clf, dist_est
+
+
+def _find_free_pair(robot, obs, key):
+    """A (start, target) pair of collision-free configurations."""
+    q = robot.rand_configs(64, key)
+    free = ~np.asarray(planar_robot_collision(robot, obs, q))
+    idx = np.where(free)[0]
+    assert len(idx) >= 2
+    return q[idx[0]], q[idx[-1]]
+
+
+def _validate(robot, obs, path, num_sub=8):
+    dense = utils.dense_path(jnp.asarray(path, jnp.float32), num_sub)
+    return not bool(jnp.any(planar_robot_collision(robot, obs, dense)))
+
+
+def test_adam_traj_optimize(world):
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(7))
+    options = {
+        'N_WAYPOINTS': 20,
+        'NUM_RE_TRIALS': 5,
+        'MAXITER': 150,
+        'history': False,
+        'safety_margin': -0.3,
+        'max_speed': 1.5,
+        'seed': 0,
+    }
+    rec = optim.adam_traj_optimize(robot, dist_est, start, target, options)
+    sol = np.asarray(rec['solution'])
+    assert sol.shape == (20, 2)
+    assert np.allclose(sol[0], np.asarray(start), atol=1e-4)
+    assert np.allclose(sol[-1], np.asarray(target), atol=1e-4)
+    assert rec['success']
+    # validate against the geometric ground truth (reference validates with
+    # FCL, speed_compare.py:444-454)
+    assert _validate(robot, obs, sol)
+
+
+def test_adam_traj_optimize_with_init(world):
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(3))
+    init = np.linspace(np.asarray(start), np.asarray(target), 20)
+    options = {
+        'N_WAYPOINTS': 20, 'NUM_RE_TRIALS': 3, 'MAXITER': 100,
+        'history': False, 'safety_margin': -0.3, 'max_speed': 1.5,
+        'seed': 1, 'init_solution': init,
+    }
+    rec = optim.adam_traj_optimize(robot, dist_est, start, target, options)
+    assert np.asarray(rec['solution']).shape == (20, 2)
+
+
+def test_al_traj_optimize(world):
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(11))
+    options = {
+        'N_WAYPOINTS': 12, 'NUM_RE_TRIALS': 4, 'MAXITER': 200,
+        'safety_margin': -0.3, 'max_speed': 1.5, 'seed': 0,
+        'outer_iters': 8, 'inner_iters': 40, 'num_sub': 3,
+    }
+    rec = optim.al_traj_optimize(robot, dist_est, start, target, options)
+    sol = np.asarray(rec['solution'])
+    assert sol.shape == (12, 2)
+    assert np.allclose(sol[0], np.asarray(start), atol=1e-4)
+    assert np.allclose(sol[-1], np.asarray(target), atol=1e-4)
+    assert rec['success']
+    assert _validate(robot, obs, sol)
+
+
+def test_givengrad_traj_optimize(world):
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(5))
+    options = {
+        'N_WAYPOINTS': 12, 'NUM_RE_TRIALS': 2, 'MAXITER': 100,
+        'safety_margin': -0.3, 'max_speed': 1.5, 'seed': 0, 'num_sub': 3,
+    }
+    rec = optim.givengrad_traj_optimize(robot, dist_est, start, target,
+                                        options)
+    sol = np.asarray(rec['solution'])
+    assert sol.shape == (12, 2)
+    assert np.allclose(sol[0], np.asarray(start), atol=1e-5)
+
+
+def test_weighted_stepper(world):
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(13))
+    stepper = optim.Weighted(robot, clf, {
+        'n_waypoints': 10, 'maxiter': 50, 'history': False,
+        'max_move_weight': 10.0, 'collision_weight': 10.0,
+        'joint_limit_weight': 10.0, 'safety_bias': 0.0, 'max_speed': 1.5,
+        'optimizer_params': {'lr': 0.1}, 'dense_check': False,
+    })
+    p0 = jnp.linspace(start, target, 10)
+    res = stepper.step(p0)
+    assert res.x.shape == (10, 2)
+    assert np.all(np.isfinite(np.asarray(res.x)))
