@@ -1,0 +1,128 @@
+"""Headline benchmark: batched 7-DOF proxy collision score+grad throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The measured quantity is the trajopt inner-loop primitive (SURVEY call
+stack 3.2): polyharmonic DiffCo score + gradient through 7-DOF forward
+kinematics, evaluated over a large batch of configurations on the default
+JAX backend (TPU under the driver). ``vs_baseline`` is the speedup over a
+CPU-PyTorch implementation of the same math (the reference's stack:
+torch DH-chain FK + cdist kernel + autograd backward), measured in-process.
+North star (BASELINE.json): >= 100x.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def _jax_throughput(batch=32768, n_supports=512, n_inner=50, reps=4):
+    """Throughput of the on-device optimization loop: lax.scan of
+    score+grad steps (the shape of adam_traj_optimize's inner loop — the
+    reference performs the same evaluations from a host Python loop,
+    optim.py:86-127)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_score_setup
+    from diffco_tpu.ops.fused_score import _poly_score_xla
+
+    robot, sup, w = _flagship_score_setup(n_supports=n_supports)
+
+    @jax.jit
+    def loop(q):
+        def total(qq):
+            pts = robot.fkine(qq, flat=True)
+            return _poly_score_xla(pts, sup, w).sum()
+
+        def step(qq, _):
+            v, g = jax.value_and_grad(total)(qq)
+            return qq - 1e-4 * g, v
+
+        return jax.lax.scan(step, q, None, length=n_inner)
+
+    q = robot.rand_configs(batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(loop(q))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = loop(q)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return batch * n_inner / dt, jax.default_backend()
+
+
+def _torch_cpu_baseline(batch=2048, n_supports=512, iters=5):
+    """CPU-PyTorch reference implementation of the same score+grad:
+    DH-chain Panda FK (model.py:430-453 math) + polyharmonic kernel
+    (kernel.py:73-79) + autograd backward."""
+    import torch
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    pi = np.pi
+    L = torch.tensor([0.3330, 0.3160, 0.0825, 0.3840, 0.0880, 0.2140])
+    a = torch.tensor([0, 0, L[2], -L[2], 0, L[4], 0])
+    alpha = torch.tensor([-pi / 2, pi / 2, pi / 2, -pi / 2, pi / 2,
+                          pi / 2, 0])
+    d = torch.tensor([L[0], 0, L[1], 0, L[3], 0, L[5]])
+    s_alpha, c_alpha = alpha.sin(), alpha.cos()
+    fk_mask = [True, False, True, True, True, False, True]
+
+    def dh2mat(q):
+        c_t, s_t = q.cos(), q.sin()
+        z, o = torch.zeros_like(q), torch.ones_like(q)
+        row0 = torch.stack([c_t, -s_t * c_alpha, s_t * s_alpha, a * c_t], 2)
+        row1 = torch.stack([s_t, c_t * c_alpha, -c_t * s_alpha, a * s_t], 2)
+        row2 = torch.stack([z, s_alpha.expand_as(q), c_alpha.expand_as(q),
+                            d.expand_as(q)], 2)
+        row3 = torch.stack([z, z, z, o], 2)
+        return torch.stack([row0, row1, row2, row3], 2)
+
+    def fkine(q):
+        tfs = dh2mat(q)
+        pts = []
+        tmp = tfs[:, 0]
+        if fk_mask[0]:
+            pts.append(tmp[:, :3, 3])
+        for i in range(1, 7):
+            tmp = torch.bmm(tmp, tfs[:, i])
+            if fk_mask[i]:
+                pts.append(tmp[:, :3, 3])
+        fy = 0.5 * d[-1]
+        pts.append(tmp[:, :3, 3] + tmp[:, :3, 1] * fy)
+        pts.append(tmp[:, :3, 3] - tmp[:, :3, 1] * fy)
+        return torch.stack(pts, 1)
+
+    g = torch.Generator().manual_seed(0)
+    sup_q = torch.rand(n_supports, 7, generator=g) * 2 - 1
+    sup = fkine(sup_q).reshape(n_supports, -1)
+    w = torch.randn(n_supports, generator=g) * 0.05
+
+    def score_grad(q):
+        q = q.clone().requires_grad_(True)
+        pts = fkine(q).reshape(q.shape[0], -1)
+        r = torch.cdist(pts, sup)
+        total = (r @ w).sum()
+        total.backward()
+        return total.detach(), q.grad
+
+    q = torch.rand(batch, 7, generator=g) * 2 - 1
+    score_grad(q)  # warm up
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        score_grad(q)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def main():
+    jax_tput, backend = _jax_throughput()
+    torch_tput = _torch_cpu_baseline()
+    print(json.dumps({
+        'metric': f'7dof_score_grad_evals_per_sec_{backend}',
+        'value': round(jax_tput, 1),
+        'unit': 'configs/s',
+        'vs_baseline': round(jax_tput / torch_tput, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

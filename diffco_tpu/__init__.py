@@ -5,18 +5,37 @@ A from-scratch JAX/XLA/Pallas re-design of the DiffCo framework
 planning). The compute path is pure jit-compiled functions over fixed-shape
 arrays: batched forward kinematics, fused kernel score evaluation,
 on-device perceptron training, and scanned trajectory optimization.
+
+Top-level exports mirror the reference package layout
+(/root/reference/diffco/__init__.py:1-4) so downstream code ports
+mechanically.
 """
 
 from . import utils
 from . import kernels
-# torch-style alias so downstream code matching the reference import layout
-# (``from diffco import kernel``) ports over mechanically.
+# alias matching the reference's module name (``from diffco import kernel``)
 kernel = kernels
+
+from . import optim
+from . import routines
 
 from .robots import (
     Model, RevolutePlanarRobot, RigidPlanarBody, RigidBody, DHParameters,
     DHChainRobot, BaxterLeftArmFK, BaxterRightArmFK, BaxterFK,
     BaxterDualArmFK, PandaFK, DualPandaFK, PointRobot1D, ChainSpec,
 )
+from .robots import analytic as model  # reference calls this module `model`
+from .robots.urdf import (
+    URDFRobot, MultiURDFRobot, KUKAiiwa, FrankaPanda, TwoLinkRobot,
+    TrifingerEdu, robot_description_folder,
+)
+from .perceptron import Perceptron, DiffCo, DiffCoBeta, MultiDiffCo
+from .checkers import (
+    CollisionChecker, RBFDiffCo, ForwardKinematicsDiffCo,
+    HybridForwardKinematicsDiffCo, OptimisticChecker,
+)
+from .envs import ShapeEnv, CollisionEnv
+from .envs.shape_env import PCDEnv
+from . import geometry
 
 __version__ = '0.1.0'

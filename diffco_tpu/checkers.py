@@ -1,0 +1,398 @@
+"""High-level collision-checker API.
+
+Functional parity targets (reference:
+/root/reference/diffco/collision_checkers.py):
+  CollisionChecker (:28), RBFDiffCo (:127) [fit :163, update :220, verify
+  :254, collision_score :295], ForwardKinematicsDiffCo (:318)
+  [tensorized fkine :374-394, collision_score :475,
+  _calculate_safety_bias :497], HybridForwardKinematicsDiffCo (:511),
+  OptimisticChecker (:550).
+
+These wire a robot + environment + ground-truth checker + kernel
+perceptron together: dataset generation, fit/verify/update with the
+safety-bias rule, and the jit-compiled ``collision_score`` used by the
+trajectory optimizers. Ground truth runs batched on device (the geometric
+engine in diffco_tpu.geometry) instead of per-config FCL host loops.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import kernels as kernel
+from .perceptron import Perceptron, DiffCo, DiffCoBeta, MultiDiffCo
+from .envs.shape_env import ShapeEnv
+from .robots.urdf import URDFRobot, MultiURDFRobot
+
+
+class CollisionChecker:
+    """Base: resolves robot/environment arguments and the ground-truth
+    check function (ref collision_checkers.py:39-125)."""
+
+    def __init__(self, robot=None, robot_base_transform=None,
+                 environment=None, robot_topic=None,
+                 planning_scene_topic=None, gt_check_func=None,
+                 device=None, seed: int = 0):
+        del device
+        if isinstance(robot, str):
+            if os.path.isfile(robot):
+                assert robot_topic is None
+                name = os.path.basename(robot).split('.')[0]
+                robot = URDFRobot(robot, name=name,
+                                  base_transform=robot_base_transform)
+            else:
+                raise ValueError('Invalid robot URDF file path')
+        if robot_topic is not None:
+            from .ros_interface import ROSRobotEnv
+            robot = ROSRobotEnv(robot_topic=robot_topic,
+                                planning_scene_topic=planning_scene_topic)
+        self.robot = robot
+        if environment is not None and isinstance(environment, Dict):
+            environment = ShapeEnv(environment)
+        self.environment = environment
+
+        if gt_check_func is None:
+            if environment is not None:
+                self.gt_check_func = partial(self.robot.collision,
+                                             other=self.environment)
+            else:
+                self.gt_check_func = self.robot.collision
+        else:
+            self.gt_check_func = gt_check_func
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def collision(self, q):
+        return self.gt_check_func(q)
+
+    def fkine(self, q, return_collision=False, **kwargs):
+        return self.robot.compute_forward_kinematics_all_links(
+            q, return_collision=return_collision, **kwargs)
+
+    def normalizer(self, unnormalized_q):
+        raise NotImplementedError
+
+    def unnormalizer(self, normalized_q):
+        raise NotImplementedError
+
+    def _generate_dataset(self, q, labels, dists, num_samples,
+                          fix_joints=None, fix_joint_values=None,
+                          verbose=False):
+        """Random configs + ground-truth labels
+        (ref collision_checkers.py:108-125)."""
+        if q is None:
+            q = self.robot.rand_configs(num_samples, self._next_key())
+        q = jnp.asarray(q)
+        if fix_joints is not None:
+            q = q.at[:, jnp.asarray(fix_joints)].set(
+                jnp.asarray(fix_joint_values, q.dtype))
+        num_samples = q.shape[0]
+        if labels is None:
+            if verbose:
+                print('Generating labels...')
+                t0 = time.time()
+            labels = self.gt_check_func(q)
+            labels = jnp.asarray(labels).astype(q.dtype)
+            if verbose:
+                print(f'Labels generated in {time.time() - t0:.2f}s')
+        else:
+            labels = (jnp.asarray(labels) > 0).astype(q.dtype)
+        if dists is None:
+            dists = jnp.zeros(num_samples, q.dtype)
+        return q, labels, dists
+
+
+class RBFDiffCo(CollisionChecker):
+    """Vanilla DiffCo over raw configurations (no FK transform).
+
+    Ref: collision_checkers.py:127-315.
+    """
+
+    def __init__(self, robot=None, robot_base_transform=None,
+                 environment=None, robot_topic=None,
+                 planning_scene_topic=None, gt_check_func=None, device=None,
+                 kernel_func=None, perceptron_class=DiffCo, seed: int = 0,
+                 **perceptron_kwargs):
+        super().__init__(robot=robot,
+                         robot_base_transform=robot_base_transform,
+                         environment=environment, robot_topic=robot_topic,
+                         planning_scene_topic=planning_scene_topic,
+                         gt_check_func=gt_check_func, seed=seed)
+        if kernel_func is None:
+            self.kernel_func = kernel.RQKernel(
+                perceptron_kwargs.pop('gamma', 10))
+        else:
+            self.kernel_func = kernel_func
+        self.perceptron = perceptron_class(kernel_func=self.kernel_func,
+                                           **perceptron_kwargs)
+        self.q_verify = None
+        self.labels_verify = None
+        self.safety_bias = 0.0
+        self.perceptron_trained = False
+
+    # -- fitting ------------------------------------------------------------
+
+    def fit(self, q=None, labels=None, dists=None, update=False,
+            exist_mask=None, num_samples=5000, verify_ratio=0.1,
+            verbose=False, **get_dataset_kwargs):
+        """Train (or warm-update) the proxy and optionally verify on a
+        held-out split (ref collision_checkers.py:163-218)."""
+        get_dataset_kwargs.setdefault('verbose', not self.perceptron_trained)
+        q, labels, dists = self._generate_dataset(
+            q, labels, dists, num_samples, **get_dataset_kwargs)
+        num_samples = q.shape[0]
+        labels = (2 * labels - 1).astype(q.dtype)
+
+        if 0 < verify_ratio < 1:
+            num_verify = int(verify_ratio * num_samples)
+            perm = jax.random.permutation(self._next_key(), num_samples)
+            verify_idx = perm[:num_verify]
+            verify_mask = jnp.zeros(num_samples, bool).at[verify_idx].set(True)
+            q_train, q_verify = q[~verify_mask], q[verify_mask]
+            labels_train = labels[~verify_mask]
+            labels_verify = labels[verify_mask]
+            dists_train = dists[~verify_mask]
+            if update and exist_mask is not None:
+                exist_mask = jnp.asarray(exist_mask)[~verify_mask]
+        elif verify_ratio:
+            raise ValueError(
+                f'verify_ratio should be in (0, 1), got {verify_ratio}')
+        else:
+            q_train, labels_train, dists_train = q, labels, dists
+            q_verify = self.robot.rand_configs(100, self._next_key())
+            labels_verify = None
+
+        self.perceptron.train(
+            q_train, labels_train, update=update, exist_mask=exist_mask,
+            max_iteration=q_train.shape[0], distance=dists_train,
+            verbose=verbose)
+        inference_kernel_func = kernel.Polyharmonic(k=1, epsilon=1)
+        self.perceptron.fit_poly(kernel_func=inference_kernel_func,
+                                 target='label')
+        self._score_fn = None  # invalidate jit cache (supports changed)
+
+        self.safety_bias = self._calculate_safety_bias(q_verify)
+        if verify_ratio:
+            verify_acc, verify_tpr, verify_tnr = self.verify(
+                q_verify, labels_verify, verbose=verbose)
+            self.q_verify = q_verify
+        else:
+            verify_acc = verify_tpr = verify_tnr = None
+        self.perceptron_trained = True
+        return verify_acc, verify_tpr, verify_tnr
+
+    def update(self, q=None, labels=None, dists=None, exploit_std=0.3,
+               num_samples=100, num_exploit_samples=None,
+               num_explore_samples=None, verify=False, verbose=False):
+        """Active-learning update after environment changes
+        (ref collision_checkers.py:220-252): exploit samples around current
+        supports + uniform explore samples + the supports themselves."""
+        n_exploit = (num_samples if num_exploit_samples is None
+                     else num_exploit_samples)
+        n_explore = (num_samples if num_explore_samples is None
+                     else num_explore_samples)
+        exist_mask = None
+        if q is None:
+            nv = self.perceptron.num_valid
+            supports = self.perceptron.support_points[:nv]
+            dof = supports.shape[-1]
+            if n_exploit > nv:
+                mul = -(-n_exploit // nv)
+                sel = supports
+            else:
+                mul = 1
+                perm = jax.random.permutation(self._next_key(), nv)
+                sel = supports[perm[:n_exploit]]
+            noise = jax.random.normal(
+                self._next_key(), (mul, sel.shape[0], dof)) * exploit_std
+            exploit = sel[None] + noise
+            lims = self.robot.joint_limits
+            exploit = jnp.clip(exploit.reshape(-1, dof),
+                               lims[:, 0], lims[:, 1])
+            explore = self.robot.rand_configs(n_explore, self._next_key())
+            q = jnp.concatenate([exploit, explore, supports], axis=0)
+            exist_mask = jnp.zeros(q.shape[0], bool).at[
+                -supports.shape[0]:].set(True)
+        return self.fit(q, labels, dists, update=True,
+                        exist_mask=exist_mask, verify_ratio=verify,
+                        verbose=verbose)
+
+    # -- verification ---------------------------------------------------------
+
+    def verify(self, q_verify=None, labels_verify=None, num_samples=None,
+               verbose=False):
+        """ACC/TPR/TNR with the safety bias (ref :254-290). Returns the
+        *biased* metrics (what the reference returns last)."""
+        if q_verify is None:
+            if num_samples is not None:
+                q_verify = self.robot.rand_configs(num_samples,
+                                                   self._next_key())
+                self.q_verify = q_verify
+            elif self.q_verify is not None:
+                q_verify = self.q_verify
+            else:
+                raise ValueError('q_verify or num_samples required')
+        scores = self.perceptron.poly_score(q_verify).reshape(-1)
+        preds = 2 * (scores > 0) - 1
+        biased_preds = 2 * (scores + self.safety_bias > 0) - 1
+
+        if labels_verify is None:
+            labels_verify = self.gt_check_func(q_verify)
+            labels_verify = (2 * jnp.asarray(labels_verify).astype(
+                jnp.float32) - 1)
+        labels_verify = jnp.asarray(labels_verify).reshape(-1)
+
+        def metrics(p):
+            n_pos = jnp.sum(labels_verify == 1)
+            n_neg = jnp.sum(labels_verify == -1)
+            acc = jnp.mean((p == labels_verify).astype(jnp.float32))
+            tpr = jnp.sum((p == 1) & (labels_verify == 1)) / jnp.maximum(
+                n_pos, 1)
+            tnr = jnp.sum((p == -1) & (labels_verify == -1)) / jnp.maximum(
+                n_neg, 1)
+            return acc, tpr, tnr
+
+        acc, tpr, tnr = metrics(preds)
+        if verbose:
+            print(f'Test acc: {acc:.4f}, TPR {tpr:.4f}, TNR {tnr:.4f}')
+        bacc, btpr, btnr = metrics(biased_preds)
+        if verbose:
+            print(f'Biased Test acc: {bacc:.4f}, TPR {btpr:.4f}, '
+                  f'TNR {btnr:.4f}')
+        return (float(bacc), float(btpr), float(btnr))
+
+    # -- inference ------------------------------------------------------------
+
+    def collision(self, q):
+        return self.collision_score(q).reshape(-1) > 0
+
+    def collision_score(self, q, bias=None):
+        """Biased smooth score, any leading batch shape
+        (ref :295-303)."""
+        bias = self.safety_bias if bias is None else bias
+        q = jnp.asarray(q)
+        shape_q = q.shape
+        raw = self.perceptron.poly_score(q.reshape(-1, shape_q[-1]))
+        raw = raw.reshape(shape_q[:-1] + raw.shape[1:])
+        return raw + bias
+
+    def score_fn(self, bias=None):
+        """A jit-friendly pure score function q[B, dof] -> [B] closing over
+        the current support state (for trajectory optimizers)."""
+        bias = self.safety_bias if bias is None else bias
+        perceptron = self.perceptron
+
+        def fn(q):
+            return perceptron.poly_score(q).reshape(-1) + bias
+        return fn
+
+    def _calculate_safety_bias(self, q_verify):
+        """min(|min score|, |max score|) / 3 (ref :497-503)."""
+        scores = self.perceptron.poly_score(q_verify).reshape(-1)
+        min_polar = jnp.minimum(jnp.abs(scores.min()), jnp.abs(scores.max()))
+        return float(min_polar / 3)
+
+    def normalizer(self, unnormalized_q):
+        lims = self.robot.joint_limits
+        return (unnormalized_q - lims[:, 0]) / (lims[:, 1] - lims[:, 0])
+
+    def unnormalizer(self, normalized_q):
+        lims = self.robot.joint_limits
+        return normalized_q * (lims[:, 1] - lims[:, 0]) + lims[:, 0]
+
+
+class ForwardKinematicsDiffCo(RBFDiffCo):
+    """DiffCo with the FK transform into workspace control points —
+    recommended for manipulators (ref collision_checkers.py:318-509)."""
+
+    def __init__(self, robot=None, robot_base_transform=None,
+                 environment=None, robot_topic=None,
+                 planning_scene_topic=None, gt_check_func=None, device=None,
+                 perceptron_class=DiffCo, seed: int = 0,
+                 **perceptron_kwargs):
+        CollisionChecker.__init__(
+            self, robot=robot, robot_base_transform=robot_base_transform,
+            environment=environment, robot_topic=robot_topic,
+            planning_scene_topic=planning_scene_topic,
+            gt_check_func=gt_check_func, seed=seed)
+        self.tensorized_fkine = self.robot.fkine
+        if hasattr(self.robot, 'unique_position_link_names'):
+            self.unique_position_link_names = \
+                self.robot.unique_position_link_names
+        self.kernel_func = kernel.RQKernel(
+            perceptron_kwargs.pop('gamma', 10))
+        self.kernel_transform = self.tensorized_fkine
+        self.perceptron = perceptron_class(
+            kernel_func=self.kernel_func, transform=self.kernel_transform,
+            **perceptron_kwargs)
+        self.q_verify = None
+        self.labels_verify = None
+        self.safety_bias = 0.0
+        self.perceptron_trained = False
+
+    def collision_score(self, q=None, bias=None, q_link_pos=None):
+        """Score from configurations or directly from link positions
+        (ref :475-495)."""
+        bias = self.safety_bias if bias is None else bias
+        if q is not None:
+            q = jnp.asarray(q)
+            shape_q = q.shape
+            raw = self.perceptron.poly_score(q.reshape(-1, shape_q[-1]))
+            raw = raw.reshape(shape_q[:-1] + raw.shape[1:])
+        elif q_link_pos is not None:
+            p = jnp.asarray(q_link_pos)
+            raw = self.perceptron.poly_score(
+                transformed_point=p.reshape((-1,) + p.shape[-2:]))
+            raw = raw.reshape(p.shape[:-2] + raw.shape[1:])
+        else:
+            raise ValueError('q or q_link_pos required')
+        return raw + bias
+
+
+class HybridForwardKinematicsDiffCo(ForwardKinematicsDiffCo):
+    """Proxy labels re-checked with ground truth in the uncertain band
+    (ref collision_checkers.py:511-548). The reference recomputes only
+    uncertain rows on the host; a batched where-select keeps everything
+    on device."""
+
+    def __init__(self, *args, lazy_line_check=False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.lazy_line_check = lazy_line_check
+
+    def collision(self, q):
+        q = jnp.atleast_2d(jnp.asarray(q))
+        unbias = self.collision_score(q, bias=0).reshape(-1)
+        labels = unbias + self.safety_bias > 0
+        if self.lazy_line_check:
+            # check only the most suspicious configuration exactly
+            max_i = jnp.argmax(unbias)
+            gt = jnp.asarray(self.gt_check_func(q[max_i][None])).reshape(())
+            labels = labels.at[max_i].set(gt)
+        else:
+            uncertain = jnp.logical_and(unbias + self.safety_bias > 0,
+                                        unbias - self.safety_bias < 0)
+            gt = jnp.asarray(self.gt_check_func(q)).reshape(-1)
+            labels = jnp.where(uncertain, gt, labels)
+        return labels
+
+
+class OptimisticChecker(HybridForwardKinematicsDiffCo):
+    """Ref OptimisticBaxterChecker (collision_checkers.py:550-561):
+    optimistic mode treats only scores above the safety bias as
+    collisions."""
+
+    def in_collision(self, states, optimistic=False):
+        states = jnp.atleast_2d(jnp.asarray(states))
+        if optimistic:
+            scores = self.collision_score(states, bias=0).reshape(-1)
+            return bool(scores.max() - self.safety_bias > 0)
+        return bool(jnp.any(self.collision(states)))

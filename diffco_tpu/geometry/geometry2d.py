@@ -259,3 +259,83 @@ def planar_robot_signed_dist(robot, obstacles: Obstacles2D, q):
 def planar_robot_collision(robot, obstacles: Obstacles2D, q):
     """Boolean collision labels [B] (any obstacle)."""
     return jnp.any(planar_robot_signed_dist(robot, obstacles, q) > 0, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# oriented rect vs obstacles (SE(2) rigid bodies, ref RigidPlanarBody
+# model.py:78-117 + generate_batch_data_se2.py)
+
+
+def _rect_corners(center, half, angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    ex = jnp.stack([c, s], -1) * half[..., 0:1]
+    ey = jnp.stack([-s, c], -1) * half[..., 1:2]
+    return jnp.stack([center + ex + ey, center + ex - ey,
+                      center - ex + ey, center - ex - ey], axis=-2)
+
+
+def rect_rect_signed_dist(c1, h1, a1, c2, h2, a2):
+    """Signed distance between oriented rects (>0 = penetration via SAT
+    minimal translation; <0 = exact separation via corner-edge
+    distances)."""
+    corners1 = _rect_corners(c1, h1, a1)  # [4, 2]
+    corners2 = _rect_corners(c2, h2, a2)
+
+    def axes_of(angle):
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        return jnp.stack([jnp.stack([c, s], -1),
+                          jnp.stack([-s, c], -1)], axis=-2)  # [2, 2]
+
+    axes = jnp.concatenate([axes_of(a1), axes_of(a2)], axis=-2)  # [4, 2]
+
+    def mtv_along(axis):
+        p1 = corners1 @ axis
+        p2 = corners2 @ axis
+        return jnp.minimum(p1.max(-1) - p2.min(-1), p2.max(-1) - p1.min(-1))
+
+    mtvs = jax.vmap(mtv_along)(axes)
+    pen = jnp.min(mtvs)  # >0 iff overlapping on all axes
+
+    # separation: min corner-to-edge distance across both rects
+    edges1 = jnp.stack([corners1, corners1[jnp.asarray([1, 3, 0, 2])]],
+                       axis=-2)  # 4 edges [4, 2, 2]
+    edges2 = jnp.stack([corners2, corners2[jnp.asarray([1, 3, 0, 2])]],
+                       axis=-2)
+    d12 = jnp.min(jax.vmap(lambda p: jnp.min(point_segment_dist(
+        p, edges2[:, 0], edges2[:, 1])))(corners1))
+    d21 = jnp.min(jax.vmap(lambda p: jnp.min(point_segment_dist(
+        p, edges1[:, 0], edges1[:, 1])))(corners2))
+    sep = jnp.minimum(d12, d21)
+    return jnp.where(pen >= 0, jnp.maximum(pen, 0.0), -sep)
+
+
+def rigid_body_signed_dist(body_parts, obstacles: 'Obstacles2D', q):
+    """Per-config, per-obstacle signed distance of an SE(2) rigid body.
+
+    body_parts: [(center (x, y), half (w/2, h/2))] rectangles in the body
+    frame; q: [B, 3] (x, y, theta). Returns [B, n_obstacles].
+    """
+    parts_c = jnp.asarray([p[0] for p in body_parts], jnp.float32)
+    parts_h = jnp.asarray([p[1] for p in body_parts], jnp.float32)
+
+    def per_cfg(cfg):
+        xy, th = cfg[:2], cfg[2]
+        c, s = jnp.cos(th), jnp.sin(th)
+        R = jnp.asarray([[c, -s], [s, c]])
+        centers = parts_c @ R.T + xy
+        out = []
+        if obstacles.circles.shape[0]:
+            def vs_circle(circ):
+                d = jax.vmap(lambda pc, ph: -(point_rect_sd(
+                    circ[:2], pc, ph, th)) + circ[2])(centers, parts_h)
+                return jnp.max(d)
+            out.append(jax.vmap(vs_circle)(obstacles.circles))
+        if obstacles.rects.shape[0]:
+            def vs_rect(r):
+                d = jax.vmap(lambda pc, ph: rect_rect_signed_dist(
+                    pc, ph, th, r[:2], r[2:4], r[4]))(centers, parts_h)
+                return jnp.max(d)
+            out.append(jax.vmap(vs_rect)(obstacles.rects))
+        return jnp.concatenate(out) if out else jnp.zeros((0,))
+
+    return jax.vmap(per_cfg)(jnp.atleast_2d(jnp.asarray(q)))

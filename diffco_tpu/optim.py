@@ -60,12 +60,12 @@ def _loss_terms(p, robot_fkine, dist_est, limits, safety_margin, max_speed):
 @functools.partial(
     jax.jit,
     static_argnames=('robot_fkine', 'dist_est', 'n_waypoints', 'num_trials',
-                     'maxiter', 'lr', 'history'))
+                     'maxiter', 'lr', 'history', 'dense_sub'))
 def _adam_traj_core(start_cfg, target_cfg, limits, init_first, key,
                     robot_fkine: Callable, dist_est: Callable,
                     n_waypoints: int, num_trials: int, maxiter: int,
                     lr: float, safety_margin, max_speed: float,
-                    history: bool = False):
+                    history: bool = False, dense_sub: int = 1):
     """All restarts in parallel (vmap), all steps in one scan.
 
     Weights and convergence thresholds match the reference
@@ -77,8 +77,20 @@ def _adam_traj_core(start_cfg, target_cfg, limits, init_first, key,
     collision_w, max_move_w, joint_limit_w, dif_w = 10.0, 10.0, 10.0, 1.0
 
     def loss_fn(p):
+        # dense_sub > 1 evaluates the collision term on a densified path
+        # (configuration-space interpolation between waypoints) — the
+        # reference only does this in its scipy constraint paths
+        # (optim.py:190-207); on TPU the extra batch is nearly free and
+        # prevents the optimizer from threading between waypoints.
+        # The fixed endpoints are excluded from the collision term (like
+        # the reference's dense_p[1:-1], optim.py:196): they cannot move,
+        # so a false-positive proxy score there would make the constraint
+        # unsatisfiable for every path.
+        p_check = (utils.dense_path(p, dense_sub)
+                   if dense_sub > 1 else p)[1:-1]
         diff, collision, max_move, joint_limit = _loss_terms(
-            p, robot_fkine, dist_est, limits, safety_margin, max_speed)
+            p, robot_fkine, lambda _: dist_est(p_check), limits,
+            safety_margin, max_speed)
         constraint = (collision_w * collision + max_move_w * max_move
                       + joint_limit_w * joint_limit)
         objective = dif_w * diff
@@ -195,7 +207,7 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
         start_cfg, target_cfg, limits, init_first, key,
         fkine, dist_est, n_waypoints, int(o['NUM_RE_TRIALS']),
         int(o['MAXITER']), lr, margin, float(o['max_speed']),
-        history=bool(o['history']))
+        history=bool(o['history']), dense_sub=int(o.get('dense_sub', 1)))
     solution = np.asarray(jax.device_get(solution))
     elapsed = time.time() - start_t
 

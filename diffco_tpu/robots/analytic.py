@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import wrap2pi, rot_2d, euler2mat, DH2mat, matmul_f32
+from .soa import (
+    rot_compose, rot_apply, vec_add, transform_compose, dh_rot_trans,
+    rot_from_static, stack_points)
 
 PI = math.pi
 
@@ -174,31 +177,59 @@ class DHChainRobot(Model):
     """
 
     def __init__(self, dhparams: DHParameters, limits, fk_mask: Sequence[bool],
-                 base: Optional[jnp.ndarray] = None):
+                 base: Optional[np.ndarray] = None):
         self.dhparams = dhparams
         self.limits = jnp.asarray(limits, dtype=jnp.float32)
         self.dof = self.limits.shape[0]
         self.fk_mask = list(fk_mask)
-        self.base = base  # optional [4, 4]
+        self.base = None if base is None else np.asarray(base)  # [4, 4]
+        # static per-joint DH constants for the SoA fast path
+        self._dh_const = [
+            (float(a), float(d), float(sa), float(ca), float(th))
+            for a, d, sa, ca, th in zip(
+                np.asarray(dhparams.a), np.asarray(dhparams.d),
+                np.asarray(dhparams.s_alpha), np.asarray(dhparams.c_alpha),
+                np.asarray(dhparams.theta))]
+
+    def _fk_frames_soa(self, q):
+        """Cumulative frames as SoA (rot 9-tuple, trans 3-tuple of [B])."""
+        q = jnp.reshape(q, (-1, self.dof))
+        frames = []
+        r_acc = t_acc = None
+        if self.base is not None:
+            zb = jnp.zeros(q.shape[0], q.dtype)
+            r_acc = tuple(zb + v for v in rot_from_static(self.base[:3, :3]))
+            t_acc = tuple(zb + float(v) for v in self.base[:3, 3])
+        for i, (a, d, sa, ca, th) in enumerate(self._dh_const):
+            r_j, t_j = dh_rot_trans(q[:, i] + th, a, d, sa, ca)
+            if r_acc is None:
+                r_acc, t_acc = r_j, t_j
+            else:
+                r_acc, t_acc = transform_compose(r_acc, t_acc, r_j, t_j)
+            frames.append((r_acc, t_acc))
+        return frames
 
     def _cum_tfs(self, q):
-        """All cumulative frames: [B, dof, 4, 4]."""
+        """All cumulative frames: [B, dof, 4, 4] (reference-layout path,
+        kept for tests; hot paths use the SoA formulation)."""
         q = jnp.reshape(q, (-1, self.dof))
         angles = q + self.dhparams.theta
         tfs = DH2mat(angles, self.dhparams.a, self.dhparams.d,
                      self.dhparams.s_alpha, self.dhparams.c_alpha)
         cum = []
-        tmp = tfs[:, 0] if self.base is None else matmul_f32(self.base, tfs[:, 0])
+        base = (None if self.base is None
+                else jnp.asarray(self.base, jnp.float32))
+        tmp = tfs[:, 0] if base is None else matmul_f32(base, tfs[:, 0])
         cum.append(tmp)
         for i in range(1, self.dof):
             tmp = matmul_f32(tmp, tfs[:, i])
             cum.append(tmp)
         return jnp.stack(cum, axis=1)
 
-    def fkine(self, q):
-        cum = self._cum_tfs(q)
-        sel = [i for i, m in enumerate(self.fk_mask) if m]
-        return cum[:, jnp.asarray(sel)][:, :, :3, 3]
+    def fkine(self, q, flat: bool = False):
+        frames = self._fk_frames_soa(q)
+        pts = [t for i, (r, t) in enumerate(frames) if self.fk_mask[i]]
+        return stack_points(pts, flat=flat)
 
     def wrap(self, q):
         return wrap2pi(q)
@@ -266,24 +297,31 @@ class BaxterDualArmFK(Model):
         right[:, 3] = [-offsets[0], -offsets[1], offsets[2], 1]
         self.arm_bases = jnp.asarray(np.stack([left, right]))  # [2, 4, 4]
 
-    def fkine(self, q):
+    def fkine(self, q, flat: bool = False):
         q = jnp.reshape(q, (-1, self.dof))
         half = self.dof // 2
-        l_ang = q[:, :half] + self.dh.theta
-        r_ang = q[:, half:] + self.dh.theta
-        l_tfs = DH2mat(l_ang, self.dh.a, self.dh.d, self.dh.s_alpha,
-                       self.dh.c_alpha)
-        r_tfs = DH2mat(r_ang, self.dh.a, self.dh.d, self.dh.s_alpha,
-                       self.dh.c_alpha)
-        tfs = jnp.stack([l_tfs, r_tfs], axis=2)  # [B, half, 2, 4, 4]
-        cum = []
-        tmp = jnp.broadcast_to(self.arm_bases[None],
-                               (q.shape[0], 2, 4, 4))
-        for i in range(half):
-            tmp = matmul_f32(tmp, tfs[:, i])
-            if self.fk_mask[i]:
-                cum.append(tmp[:, :, :3, 3])
-        return jnp.concatenate(cum, axis=1)  # [B, 2 * n_mask, 3]
+        bases = np.asarray(self.arm_bases)
+        dh = self.dh
+        consts = [(float(a), float(d), float(sa), float(ca), float(th))
+                  for a, d, sa, ca, th in zip(
+                      np.asarray(dh.a), np.asarray(dh.d),
+                      np.asarray(dh.s_alpha), np.asarray(dh.c_alpha),
+                      np.asarray(dh.theta))]
+        zb = jnp.zeros(q.shape[0], q.dtype)
+        pts = []  # interleaved (left_i, right_i) per masked joint
+        for arm, q_arm in ((0, q[:, :half]), (1, q[:, half:])):
+            r_acc = tuple(zb + v for v in rot_from_static(
+                bases[arm][:3, :3]))
+            t_acc = tuple(zb + float(v) for v in bases[arm][:3, 3])
+            arm_pts = []
+            for i, (a, d, sa, ca, th) in enumerate(consts):
+                r_j, t_j = dh_rot_trans(q_arm[:, i] + th, a, d, sa, ca)
+                r_acc, t_acc = transform_compose(r_acc, t_acc, r_j, t_j)
+                if self.fk_mask[i]:
+                    arm_pts.append(t_acc)
+            pts.append(arm_pts)
+        interleaved = [p for pair in zip(pts[0], pts[1]) for p in pair]
+        return stack_points(interleaved, flat=flat)
 
     def wrap(self, q):
         return wrap2pi(q)
@@ -314,16 +352,16 @@ class PandaFK(DHChainRobot):
         super().__init__(dh, _PANDA_LIMITS,
                          fk_mask=[True, False, True, True, True, False, True])
 
-    def fkine(self, q):
-        cum = self._cum_tfs(q)
-        sel = [i for i, m in enumerate(self.fk_mask) if m]
-        pts = cum[:, jnp.asarray(sel)][:, :, :3, 3]
+    def fkine(self, q, flat: bool = False):
+        frames = self._fk_frames_soa(q)
+        pts = [t for i, (r, t) in enumerate(frames) if self.fk_mask[i]]
         # two finger control points offset +-d[-1]/2 along ee-frame y
-        ee = cum[:, -1]  # [B, 4, 4]
-        fy = 0.5 * self.dhparams.d[-1]
-        left = ee[:, :3, 3] + ee[:, :3, 1] * fy
-        right = ee[:, :3, 3] - ee[:, :3, 1] * fy
-        return jnp.concatenate([pts, left[:, None], right[:, None]], axis=1)
+        r_ee, t_ee = frames[-1]
+        fy = 0.5 * float(np.asarray(self.dhparams.d)[-1])
+        y_col = (r_ee[1], r_ee[4], r_ee[7])  # ee-frame y axis in world
+        left = vec_add(t_ee, tuple(c * fy for c in y_col))
+        right = vec_add(t_ee, tuple(c * (-fy) for c in y_col))
+        return stack_points(pts + [left, right], flat=flat)
 
 
 class DualPandaFK(Model):

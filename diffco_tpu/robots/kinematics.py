@@ -115,6 +115,65 @@ def fk_link_poses(spec: ChainSpec, q: jnp.ndarray,
     return rot, tr
 
 
+def fk_link_poses_scan(spec: ChainSpec, q: jnp.ndarray,
+                       base_rot: Optional[jnp.ndarray] = None,
+                       base_trans: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FK via ``lax.scan`` over links — O(1) compile time in chain length.
+
+    Identical semantics to :func:`fk_link_poses` (which unrolls the chain
+    into the trace: better runtime fusion for short chains, but compile
+    time grows with L). All per-joint local transforms are computed
+    vectorized over L up front; the scan only composes poses down the
+    topologically-sorted chain.
+    """
+    q = jnp.asarray(q)
+    dtype = q.dtype
+    L = spec.n_links
+    fixed_rot = jnp.asarray(spec.fixed_rot, dtype)
+    fixed_trans = jnp.asarray(spec.fixed_trans, dtype)
+    axis = jnp.asarray(spec.axis, dtype)
+    parent = jnp.asarray(spec.parent)
+    jtype = jnp.asarray(spec.jtype)
+    dof_idx = jnp.asarray(np.maximum(spec.dof_idx, 0))
+    has_dof = jnp.asarray(spec.dof_idx >= 0)
+    mult = jnp.asarray(spec.mimic_mult, dtype)
+    off = jnp.asarray(spec.mimic_offset, dtype)
+
+    qpad = jnp.concatenate([q, jnp.zeros(1, dtype)]) if spec.n_dofs == 0 \
+        else q
+    theta = jnp.where(has_dof, qpad[dof_idx] * mult + off, 0.0)  # [L]
+    aa = axis_angle_mat(axis, theta)                              # [L, 3, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (L, 3, 3))
+    rot_j = jnp.where((jtype == REVOLUTE)[:, None, None], aa, eye)
+    j_rot = jnp.einsum('lij,ljk->lik', fixed_rot, rot_j,
+                       precision='highest')
+    pris = (jtype == PRISMATIC).astype(dtype)[:, None]
+    j_trans = fixed_trans + pris * jnp.einsum(
+        'lij,lj->li', fixed_rot, axis * theta[:, None],
+        precision='highest')
+
+    def step(carry, i):
+        rots, trans = carry
+        p = parent[i]
+        pc = jnp.maximum(p, 0)
+        Rp = jnp.where(p < 0, jnp.eye(3, dtype=dtype), rots[pc])
+        tp = jnp.where(p < 0, jnp.zeros(3, dtype), trans[pc])
+        w_rot = matmul_f32(Rp, j_rot[i])
+        w_tr = tp + matmul_f32(Rp, j_trans[i])
+        rots = rots.at[i].set(w_rot)
+        trans = trans.at[i].set(w_tr)
+        return (rots, trans), None
+
+    init = (jnp.zeros((L, 3, 3), dtype), jnp.zeros((L, 3), dtype))
+    (rot, tr), _ = jax.lax.scan(step, init, jnp.arange(L))
+    if base_rot is not None:
+        tr = jnp.einsum('ij,lj->li', base_rot, tr,
+                        precision='highest') + base_trans
+        rot = jnp.einsum('ij,ljk->lik', base_rot, rot, precision='highest')
+    return rot, tr
+
+
 def fk_selected_positions(spec: ChainSpec, q: jnp.ndarray,
                           link_indices: Sequence[int],
                           base_rot: Optional[jnp.ndarray] = None,

@@ -1,0 +1,544 @@
+"""URDF robot interface: parse -> flattened chain -> batched FK + collision.
+
+Functional parity targets (reference:
+/root/reference/diffco/collision_interfaces/urdf_interface.py):
+  URDFRobot (:348) [rand_configs :447, collision :450,
+  compute_forward_kinematics_all_links :516], URDFRobotCollisionManager ACM
+  (:141-174), convenience robots KUKAiiwa / FrankaPanda / TwoLinkRobot /
+  TrifingerEdu (:871-934), MultiURDFRobot (:700).
+
+Design: the reference parses with yourdfpy and keeps a recursive RigidBody
+tree plus an FCL manager it mutates per configuration. Here:
+  * URDF XML is parsed with the stdlib (host, build time) into a
+    ``ChainSpec`` (static arrays, topological order);
+  * link collision geometry becomes a **sphere decomposition** (see
+    geometry3d) so robot-vs-environment and self-collision checks are
+    batched device ops over all configurations at once;
+  * the allowed-collision matrix (adjacent links + always-colliding pairs
+    over N random configurations, ref :141-174) is computed at build time
+    with the same batched kernels.
+"""
+from __future__ import annotations
+
+import math
+import os
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import wrap2pi
+from .kinematics import (
+    ChainSpec, chain_from_joint_list, fk_link_poses, fk_link_poses_scan,
+    FIXED, REVOLUTE, PRISMATIC)
+from ..geometry.mesh import load_mesh, spheres_from_mesh, \
+    spheres_from_primitive
+from ..geometry.geometry3d import (
+    spheres_vs_scene_signed_dist, sphere_set_self_distance)
+
+PI = math.pi
+
+# Robot description assets. The upstream URDF/mesh packages (Franka, KUKA,
+# etc.) are third-party data; point DIFFCO_ROBOT_DATA at a checkout (the
+# reference ships them under diffco/robot_data, urdf_interface.py:35).
+robot_description_folder = os.environ.get(
+    'DIFFCO_ROBOT_DATA',
+    '/root/reference/diffco/robot_data'
+    if os.path.isdir('/root/reference/diffco/robot_data')
+    else os.path.join(os.path.dirname(__file__), '..', 'robot_data'))
+
+
+def _rpy_to_mat(rpy):
+    r, p, y = rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return Rz @ Ry @ Rx
+
+
+def _parse_origin(elem) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    if elem is None:
+        return T
+    xyz = [float(v) for v in (elem.get('xyz') or '0 0 0').split()]
+    rpy = [float(v) for v in (elem.get('rpy') or '0 0 0').split()]
+    T[:3, :3] = _rpy_to_mat(rpy)
+    T[:3, 3] = xyz
+    return T
+
+
+def parse_urdf(urdf_path: str):
+    """Parse a URDF file into (robot_name, joints, link_geoms).
+
+    joints: list of dicts consumable by ``chain_from_joint_list``;
+    link_geoms: {link_name: [(origin 4x4, kind, params)]} collision geometry.
+    """
+    tree = ET.parse(urdf_path)
+    root = tree.getroot()
+    urdf_dir = os.path.dirname(os.path.abspath(urdf_path))
+
+    link_geoms: Dict[str, List[Tuple[np.ndarray, str, dict]]] = {}
+    link_names = []
+    for link in root.findall('link'):
+        name = link.get('name')
+        link_names.append(name)
+        geoms = []
+        for col in link.findall('collision'):
+            origin = _parse_origin(col.find('origin'))
+            geom = col.find('geometry')
+            if geom is None:
+                continue
+            for g in geom:
+                tag = g.tag.split('}')[-1]
+                if tag == 'box':
+                    size = [float(v) for v in g.get('size').split()]
+                    geoms.append((origin, 'box', {'size': size}))
+                elif tag == 'cylinder':
+                    geoms.append((origin, 'cylinder', {
+                        'radius': float(g.get('radius')),
+                        'length': float(g.get('length'))}))
+                elif tag == 'sphere':
+                    geoms.append((origin, 'sphere',
+                                  {'radius': float(g.get('radius'))}))
+                elif tag == 'capsule':
+                    geoms.append((origin, 'capsule', {
+                        'radius': float(g.get('radius')),
+                        'length': float(g.get('length'))}))
+                elif tag == 'mesh':
+                    fn = g.get('filename')
+                    scale = g.get('scale')
+                    scale = ([float(v) for v in scale.split()]
+                             if scale else [1.0, 1.0, 1.0])
+                    # resolve package:// and relative paths
+                    if fn.startswith('package://'):
+                        fn = fn[len('package://'):]
+                        fn = os.path.join(robot_description_folder, fn)
+                        if not os.path.exists(fn):
+                            # try stripping the package name
+                            parts = fn.split(os.sep)
+                            fn = os.path.join(urdf_dir, *parts[-2:])
+                    elif not os.path.isabs(fn):
+                        fn = os.path.join(urdf_dir, fn)
+                    geoms.append((origin, 'mesh',
+                                  {'path': fn, 'scale': scale}))
+        link_geoms[name] = geoms
+
+    child_links = set()
+    joints = []
+    mimic_info = {}
+    for joint in root.findall('joint'):
+        jname = joint.get('name')
+        jtype = joint.get('type')
+        parent = joint.find('parent').get('link')
+        child = joint.find('child').get('link')
+        child_links.add(child)
+        origin = _parse_origin(joint.find('origin'))
+        axis_el = joint.find('axis')
+        axis = ([float(v) for v in axis_el.get('xyz').split()]
+                if axis_el is not None else [0.0, 0.0, 1.0])
+        limit_el = joint.find('limit')
+        limits = None
+        if limit_el is not None and limit_el.get('lower') is not None:
+            limits = (float(limit_el.get('lower')),
+                      float(limit_el.get('upper')))
+        mimic_el = joint.find('mimic')
+        mimic = None
+        if mimic_el is not None:
+            mimic = (mimic_el.get('joint'),
+                     float(mimic_el.get('multiplier') or 1.0),
+                     float(mimic_el.get('offset') or 0.0))
+        joints.append(dict(
+            name=jname, parent=parent, child=child, type=jtype, axis=axis,
+            origin_rot=origin[:3, :3], origin_trans=origin[:3, 3],
+            limits=limits, mimic=mimic))
+
+    roots = [n for n in link_names if n not in child_links]
+    assert len(roots) >= 1, f'no root link found in {urdf_path}'
+    return root.get('name') or os.path.basename(urdf_path), joints, \
+        link_geoms, roots[0]
+
+
+class URDFRobot:
+    """TPU-native URDF robot with batched FK and collision checking."""
+
+    def __init__(self, urdf_path: str, name: str = '',
+                 base_transform=None, device=None, setup_acm=True,
+                 load_visual_meshes: bool = False, link_spheres: int = 8,
+                 keep_joints: Optional[List[str]] = None):
+        del device, load_visual_meshes
+        self.urdf_path = urdf_path
+        robot_name, joints, link_geoms, root_link = parse_urdf(urdf_path)
+        self.name = name or robot_name
+        self.spec: ChainSpec = chain_from_joint_list(joints,
+                                                     root_name=root_link)
+        self._n_dofs = self.spec.n_dofs
+        self.dof = self._n_dofs
+        self.joint_limits = jnp.asarray(self.spec.joint_limits)
+        self.limits = self.joint_limits
+        if base_transform is not None:
+            bt = np.asarray(base_transform, np.float32)
+            self.base_rot = jnp.asarray(bt[:3, :3])
+            self.base_trans = jnp.asarray(bt[:3, 3])
+        else:
+            self.base_rot = None
+            self.base_trans = None
+
+        # ---- link sphere decomposition (build time, host) ----------------
+        centers, radii, link_idx = [], [], []
+        for li, lname in enumerate(self.spec.link_names):
+            for origin, kind, params in link_geoms.get(lname, ()):
+                if kind == 'mesh':
+                    try:
+                        verts, faces = load_mesh(params['path'])
+                    except (FileNotFoundError, ValueError):
+                        continue
+                    verts = verts * np.asarray(params['scale'], np.float32)
+                    c, r = spheres_from_mesh(verts, faces,
+                                             n_spheres=link_spheres)
+                else:
+                    c, r = spheres_from_primitive(kind, params,
+                                                  n=link_spheres)
+                c = c @ origin[:3, :3].T + origin[:3, 3]
+                centers.append(c)
+                radii.append(r)
+                link_idx.append(np.full(len(c), li, np.int32))
+        if centers:
+            self.link_sphere_centers = jnp.asarray(
+                np.concatenate(centers), jnp.float32)   # [P, 3] local
+            self.link_sphere_radii = jnp.asarray(
+                np.concatenate(radii), jnp.float32)     # [P]
+            self.sphere_link_idx = jnp.asarray(
+                np.concatenate(link_idx))               # [P]
+        else:
+            self.link_sphere_centers = jnp.zeros((0, 3), jnp.float32)
+            self.link_sphere_radii = jnp.zeros(0, jnp.float32)
+            self.sphere_link_idx = jnp.zeros(0, jnp.int32)
+
+        # name bookkeeping for FK-dict parity
+        self._link_geom_counts = {
+            n: max(len(link_geoms.get(n, ())), 0)
+            for n in self.spec.link_names}
+
+        # ---- jitted closures (built once; retracing on every call would
+        # dominate runtime, and obstacle motion must not recompile) --------
+        def _fk_batch(q):
+            return jax.vmap(lambda qq: fk_link_poses_scan(
+                self.spec, qq, self.base_rot, self.base_trans))(q)
+
+        def _spheres_world(q):
+            rot, tr = _fk_batch(q)
+            R = rot[:, self.sphere_link_idx]       # [B, P, 3, 3]
+            t = tr[:, self.sphere_link_idx]        # [B, P, 3]
+            # broadcast-multiply-sum instead of einsum: XLA-CPU's dot
+            # lowering of tiny-trailing-dim einsums compiles pathologically
+            # slowly (>10s); this form is equivalent and fuses cleanly
+            c = self.link_sphere_centers[None, :, None, :]
+            return jnp.sum(R * c, axis=-1) + t
+
+        def _env_sd(q, scene):
+            centers = _spheres_world(q)
+            return jax.vmap(lambda c: spheres_vs_scene_signed_dist(
+                c, self.link_sphere_radii, scene))(centers)
+
+        def _self_sd(q):
+            centers = _spheres_world(q)
+            if self._self_pair_i.shape[0] == 0:
+                return jnp.full((q.shape[0],), -jnp.inf)
+            return jax.vmap(lambda c: jnp.max(sphere_set_self_distance(
+                c, self.link_sphere_radii, self._self_pair_i,
+                self._self_pair_j)))(centers)
+
+        self._fk_batch_jit = jax.jit(_fk_batch)
+        self._spheres_world_jit = jax.jit(_spheres_world)
+        self._env_sd_jit = jax.jit(_env_sd)
+        self._self_sd_jit = jax.jit(_self_sd)
+
+        # ---- allowed-collision matrix (ref urdf_interface.py:141-174) ----
+        self._self_pair_i = jnp.zeros(0, jnp.int32)
+        self._self_pair_j = jnp.zeros(0, jnp.int32)
+        if setup_acm and self.link_sphere_centers.shape[0]:
+            num_cfgs = 100 if setup_acm is True or setup_acm < 2 \
+                else int(setup_acm)
+            self._setup_acm(num_cfgs)
+
+    # ---------------------------------------------------------------------
+
+    def _load_srdf_disabled(self):
+        """Disabled collision pairs from a sibling .srdf (MoveIt
+        convention; the reference ships panda.srdf next to panda.urdf)."""
+        srdf = os.path.splitext(self.urdf_path)[0] + '.srdf'
+        pairs = set()
+        if not os.path.exists(srdf):
+            return pairs
+        try:
+            root = ET.parse(srdf).getroot()
+        except ET.ParseError:
+            return pairs
+        name_to_idx = {n: i for i, n in enumerate(self.spec.link_names)}
+        for el in root.iter('disable_collisions'):
+            a = name_to_idx.get(el.get('link1'))
+            b = name_to_idx.get(el.get('link2'))
+            if a is not None and b is not None:
+                pairs.add((min(a, b), max(a, b)))
+        return pairs
+
+    def _setup_acm(self, num_cfgs: int):
+        """Allowed pairs = adjacent links (collapsed through fixed
+        joints) + SRDF-disabled pairs + pairs colliding in every one of
+        ``num_cfgs`` random configurations (ref urdf_interface.py:141-174);
+        all other link pairs are checked by self-collision."""
+        spec = self.spec
+        L = spec.n_links
+        # effective parent: skip chains of fixed joints so links rigidly
+        # attached through intermediate fixed links count as adjacent
+        def moving_ancestor(i):
+            p = int(spec.parent[i])
+            while p >= 0 and spec.jtype[p] == FIXED and \
+                    int(spec.parent[p]) >= 0:
+                p = int(spec.parent[p])
+            return p
+
+        adjacent = set()
+        for i in range(L):
+            p = moving_ancestor(i)
+            if p >= 0:
+                adjacent.add((min(i, p), max(i, p)))
+            # direct parent too
+            dp = int(spec.parent[i])
+            if dp >= 0:
+                adjacent.add((min(i, dp), max(i, dp)))
+        adjacent |= self._load_srdf_disabled()
+
+        li = np.asarray(self.sphere_link_idx)
+        has_geom = np.unique(li)
+        cand_pairs = [(a, b) for ai, a in enumerate(has_geom)
+                      for b in has_geom[ai + 1:]
+                      if (min(a, b), max(a, b)) not in adjacent]
+        if not cand_pairs:
+            return
+        # sphere-level pair expansion per link pair
+        pair_i, pair_j, pair_of_linkpair = [], [], []
+        for pid, (a, b) in enumerate(cand_pairs):
+            ia = np.where(li == a)[0]
+            ib = np.where(li == b)[0]
+            gi, gj = np.meshgrid(ia, ib, indexing='ij')
+            pair_i.append(gi.ravel())
+            pair_j.append(gj.ravel())
+            pair_of_linkpair.append(np.full(gi.size, pid, np.int32))
+        pair_i = np.concatenate(pair_i)
+        pair_j = np.concatenate(pair_j)
+        pair_map = np.concatenate(pair_of_linkpair)
+
+        q = self.rand_configs(num_cfgs, jax.random.PRNGKey(0))
+        pi, pj = jnp.asarray(pair_i), jnp.asarray(pair_j)
+        sd = jax.jit(lambda qq: jax.vmap(
+            lambda c: sphere_set_self_distance(
+                c, self.link_sphere_radii, pi, pj))(
+                    self._spheres_world_jit(qq)))(q)  # [B, n_pairs]
+        sd = np.asarray(sd)
+        # per link pair: colliding in a config iff any sphere pair overlaps
+        n_lp = len(cand_pairs)
+        colliding = np.zeros((num_cfgs, n_lp), bool)
+        for pid in range(n_lp):
+            mask = pair_map == pid
+            colliding[:, pid] = (sd[:, mask] > 0).any(axis=1)
+        always = colliding.all(axis=0)
+        keep_lp = ~always
+        keep_spheres = keep_lp[pair_map]
+        self._self_pair_i = jnp.asarray(pair_i[keep_spheres])
+        self._self_pair_j = jnp.asarray(pair_j[keep_spheres])
+        self._allowed_internal = [cand_pairs[pid]
+                                  for pid in np.where(always)[0]]
+
+    # ---------------------------------------------------------------------
+
+    def rand_configs(self, num_cfgs: int, key=None) -> jnp.ndarray:
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        lo, hi = self.joint_limits[:, 0], self.joint_limits[:, 1]
+        u = jax.random.uniform(key, (num_cfgs, self._n_dofs))
+        return u * (hi - lo) + lo
+
+    def fk_poses(self, q):
+        """Batched link poses: q [B, dof] -> (rot [B, L, 3, 3],
+        trans [B, L, 3])."""
+        q = jnp.atleast_2d(jnp.asarray(q))
+        return self._fk_batch_jit(q)
+
+    def compute_forward_kinematics_all_links(self, q, return_collision=False):
+        """Dict-API parity with urdf_interface.py:516-553:
+        {link_name: [(trans [B, 3], rot [B, 3, 3])]}."""
+        rot, tr = self.fk_poses(q)
+        out = {}
+        for li, name in enumerate(self.spec.link_names):
+            if return_collision:
+                # collision pieces = link pose per collision geometry; the
+                # sphere model keeps piece-local offsets baked into the
+                # sphere centers, so each piece reports the link frame
+                n_pieces = self._link_geom_counts.get(name, 0)
+                out[name] = [(tr[:, li], rot[:, li])] * n_pieces
+            else:
+                out[name] = [(tr[:, li], rot[:, li])]
+        return out
+
+    def fkine(self, q, return_collision=False):
+        """Stacked control-point positions [B, n_sel, 3] over the
+        unique-position links (ref collision_checkers.py:386-394)."""
+        del return_collision
+        rot, tr = self.fk_poses(q)
+        sel = self._unique_position_link_indices()
+        return tr[:, sel]
+
+    def _unique_position_link_indices(self):
+        names = self.spec.unique_position_link_names
+        return jnp.asarray([self.spec.link_index(n) for n in names])
+
+    @property
+    def unique_position_link_names(self):
+        return self.spec.unique_position_link_names
+
+    def sphere_centers_world(self, q):
+        """World positions of all collision spheres: [B, P, 3]."""
+        q = jnp.atleast_2d(jnp.asarray(q))
+        return self._spheres_world_jit(q)
+
+    # ---------------------------------------------------------------------
+
+    def collision_signed_dist(self, q, other=None):
+        """Per-config signed distances: (env_sd [B, n_objects],
+        self_sd [B]); >0 = collision."""
+        q = jnp.atleast_2d(jnp.asarray(q))
+        if other is not None:
+            scene = other.scene if hasattr(other, 'scene') else other
+            env_sd = self._env_sd_jit(q, scene)
+        else:
+            env_sd = jnp.full((q.shape[0], 0), -jnp.inf)
+        self_sd = self._self_sd_jit(q)
+        return env_sd, self_sd
+
+    def collision(self, q, other=None, show=False):
+        """Boolean labels [B]: env collision OR self collision
+        (ref urdf_interface.py:450-513, minus the per-config host loop)."""
+        del show
+        env_sd, self_sd = self.collision_signed_dist(q, other)
+        env_hit = (jnp.any(env_sd > 0, axis=-1) if env_sd.shape[-1]
+                   else jnp.zeros(env_sd.shape[0], bool))
+        return jnp.logical_or(env_hit, self_sd > 0)
+
+    def self_collision(self, q):
+        _, self_sd = self.collision_signed_dist(q, None)
+        return self_sd > 0
+
+    def wrap(self, q):
+        return wrap2pi(q)
+
+
+class MultiURDFRobot:
+    """Multiple robots with concatenated configuration vectors
+    (ref urdf_interface.py:700-867). Inter-robot collision = each robot's
+    sphere set vs the others'."""
+
+    def __init__(self, urdf_robots: List[URDFRobot]):
+        self.robots = urdf_robots
+        self.name = 'multi_' + '_'.join(r.name for r in urdf_robots)
+        self._n_dofs = sum(r._n_dofs for r in urdf_robots)
+        self.dof = self._n_dofs
+        self.joint_limits = jnp.concatenate(
+            [r.joint_limits for r in urdf_robots], axis=0)
+        self.limits = self.joint_limits
+        self._splits = np.cumsum([r._n_dofs for r in urdf_robots])[:-1]
+
+    def split_q(self, q):
+        q = jnp.atleast_2d(jnp.asarray(q))
+        return jnp.split(q, self._splits, axis=-1)
+
+    def rand_configs(self, num_cfgs: int, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        keys = jax.random.split(key, len(self.robots))
+        return jnp.concatenate(
+            [r.rand_configs(num_cfgs, k)
+             for r, k in zip(self.robots, keys)], axis=-1)
+
+    def fkine(self, q, return_collision=False):
+        qs = self.split_q(q)
+        return jnp.concatenate(
+            [r.fkine(qq, return_collision)
+             for r, qq in zip(self.robots, qs)], axis=1)
+
+    def compute_forward_kinematics_all_links(self, q, return_collision=False):
+        qs = self.split_q(q)
+        return [r.compute_forward_kinematics_all_links(qq, return_collision)
+                for r, qq in zip(self.robots, qs)]
+
+    def collision(self, q, other=None, show=False):
+        del show
+        qs = self.split_q(q)
+        B = qs[0].shape[0]
+        hit = jnp.zeros(B, bool)
+        centers_all, radii_all = [], []
+        for r, qq in zip(self.robots, qs):
+            hit = jnp.logical_or(hit, r.collision(qq, other))
+            centers_all.append(r.sphere_centers_world(qq))
+            radii_all.append(r.link_sphere_radii)
+        # inter-robot collision: pairwise sphere-set checks
+        for a in range(len(self.robots)):
+            for b in range(a + 1, len(self.robots)):
+                ca, cb = centers_all[a], centers_all[b]
+                ra, rb = radii_all[a], radii_all[b]
+                if ca.shape[1] == 0 or cb.shape[1] == 0:
+                    continue
+                d = jnp.sqrt(jnp.sum(
+                    (ca[:, :, None, :] - cb[:, None, :, :]) ** 2, -1)
+                    + 1e-12)
+                overlap = (ra[None, :, None] + rb[None, None, :]) - d
+                hit = jnp.logical_or(hit, jnp.max(
+                    overlap.reshape(B, -1), axis=-1) > 0)
+        return hit
+
+    def wrap(self, q):
+        return wrap2pi(q)
+
+
+# ---------------------------------------------------------------------------
+# convenience robots (ref urdf_interface.py:871-934)
+
+
+def _data_path(*parts):
+    return os.path.join(robot_description_folder, *parts)
+
+
+class KUKAiiwa(URDFRobot):
+    def __init__(self, version='iiwa7', **kwargs):
+        super().__init__(
+            _data_path('kuka_iiwa', 'urdf', f'{version}.urdf'),
+            name=f'kuka_{version}', **kwargs)
+
+
+class FrankaPanda(URDFRobot):
+    def __init__(self, simple_collision=False, load_gripper=True,
+                 **kwargs):
+        mid = 'panda' if load_gripper else 'panda_no_gripper'
+        if simple_collision:
+            mid += '_simple_collision'
+        super().__init__(
+            _data_path('panda_description', 'urdf', f'{mid}.urdf'),
+            name='panda', **kwargs)
+
+
+class TwoLinkRobot(URDFRobot):
+    def __init__(self, **kwargs):
+        super().__init__(_data_path('2link_robot.urdf'),
+                         name='2link_robot', **kwargs)
+
+
+class TrifingerEdu(URDFRobot):
+    def __init__(self, **kwargs):
+        super().__init__(
+            _data_path('trifinger_edu_description', 'trifinger_edu.urdf'),
+            name='trifinger_edu', **kwargs)

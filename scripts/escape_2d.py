@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Free-space escape comparison: gradient escape vs resampling.
+
+Parity targets: /root/reference/scripts/escape.py, scripts/2d_escape.py
+and scripts/compare_sampling.py — escape a batch of colliding
+configurations via proxy-score gradient descent and compare wall time /
+check counts against uniform resampling.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffco_tpu import kernels
+from diffco_tpu.perceptron import DiffCo
+from diffco_tpu.sampler import OptimSampler
+from diffco_tpu.geometry import (Obstacles2D, planar_robot_signed_dist,
+                                 planar_robot_collision)
+from diffco_tpu.robots import RevolutePlanarRobot
+from diffco_tpu.envs.presets2d import get_env
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--env', default='1rect_1circle')
+    p.add_argument('--dof', type=int, default=2)
+    p.add_argument('--link-length', type=float, default=3.5)
+    p.add_argument('--num-escape', type=int, default=256)
+    p.add_argument('--num-train', type=int, default=4000)
+    p.add_argument('--seed', type=int, default=0)
+    args = p.parse_args()
+
+    robot = RevolutePlanarRobot(args.link_length, link_width=0.3,
+                                dof=args.dof)
+    obs = Obstacles2D.from_obstacle_list(get_env(args.env))
+    key = jax.random.PRNGKey(args.seed)
+    q = robot.rand_configs(args.num_train, key)
+    sd = planar_robot_signed_dist(robot, obs, q)
+    labels = (jnp.max(sd, -1) > 0) * 2.0 - 1.0
+    clf = DiffCo(kernel_func=kernels.RQKernel(10.0))
+    clf.train(q, labels, max_iteration=args.num_train)
+    clf.fit_poly(kernels.Polyharmonic(1, 1), target='label')
+
+    def dist_est(qq):
+        return clf.poly_score(qq).reshape(-1)
+
+    # colliding starting points
+    key2 = jax.random.split(key)[0]
+    pool = robot.rand_configs(args.num_escape * 10, key2)
+    hits = np.asarray(planar_robot_collision(robot, obs, pool))
+    q0 = pool[np.where(hits)[0][:args.num_escape]]
+
+    sampler = OptimSampler(robot, dist_est, lr=0.1, max_steps=60)
+    sampler.optim_escape(q0[:8])  # compile warm-up
+    t0 = time.time()
+    q_escaped = sampler.optim_escape(q0)
+    jax.block_until_ready(q_escaped)
+    t_optim = time.time() - t0
+    gt_free = 1 - float(jnp.mean(planar_robot_collision(robot, obs,
+                                                        q_escaped)))
+
+    t0 = time.time()
+    q_res, checks = sampler.resample_escape(q0, jax.random.PRNGKey(1))
+    t_resample = time.time() - t0
+    gt_free_res = 1 - float(jnp.mean(planar_robot_collision(robot, obs,
+                                                            q_res)))
+    result = {
+        'n': int(q0.shape[0]),
+        'optim_escape': {'time_s': round(t_optim, 4),
+                         'checks': int(q0.shape[0]) * 60,
+                         'gt_free_rate': round(gt_free, 4)},
+        'resample': {'time_s': round(t_resample, 4),
+                     'checks': int(checks),
+                     'gt_free_rate': round(gt_free_res, 4)},
+    }
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == '__main__':
+    main()

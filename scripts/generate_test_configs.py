@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Generate start/target configuration pairs for benchmark problems.
+
+Parity target: /root/reference/scripts/generate_test_configs.py — emits
+JSON {env_name, start_cfgs, target_cfgs} consumed by speed_compare
+(speed_compare.py:355-359). Pairs are sampled collision-free under the
+geometric ground truth.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+import jax
+
+from diffco_tpu.geometry import Obstacles2D, planar_robot_collision
+from diffco_tpu.robots import RevolutePlanarRobot
+from diffco_tpu.envs.presets2d import get_env
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--env', default='1rect_1circle')
+    p.add_argument('--dof', type=int, default=2)
+    p.add_argument('--link-length', type=float, default=3.5)
+    p.add_argument('--num-pairs', type=int, default=10)
+    p.add_argument('--min-dist', type=float, default=1.5,
+                   help='min configuration-space distance between pairs')
+    p.add_argument('--seed', type=int, default=1917)
+    p.add_argument('--output', default=None)
+    args = p.parse_args()
+
+    robot = RevolutePlanarRobot(args.link_length, link_width=0.3,
+                                dof=args.dof)
+    obs = Obstacles2D.from_obstacle_list(get_env(args.env))
+    key = jax.random.PRNGKey(args.seed)
+    q = robot.rand_configs(4096, key)
+    free = np.asarray(q)[~np.asarray(planar_robot_collision(robot, obs, q))]
+
+    rng = np.random.RandomState(args.seed)
+    starts, targets = [], []
+    while len(starts) < args.num_pairs:
+        i, j = rng.randint(len(free)), rng.randint(len(free))
+        if np.linalg.norm(free[i] - free[j]) >= args.min_dist:
+            starts.append(free[i].tolist())
+            targets.append(free[j].tolist())
+    out = {'env_name': args.env, 'start_cfgs': starts,
+           'target_cfgs': targets}
+    path = args.output or f'test_configs_{args.env}_{args.dof}d.json'
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(f'{args.num_pairs} pairs written to {path}')
+
+
+if __name__ == '__main__':
+    main()

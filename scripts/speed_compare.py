@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Main benchmark harness: per-env / per-method trajectory optimization
+with ground-truth validation, repair, and JSON resume.
+
+Parity targets: /root/reference/scripts/speed_compare.py — the methods
+list (:404-424: fclgradfree, fcldist, adamdiffco, bidiffco,
+diffcogradfree, givengrad, trust-constr), exact-checker validation of each
+optimized trajectory (:431-454), a repair stage for failed paths
+(:477-497) and result-JSON resume (:566-582). The exact checker here is
+the batched geometric engine instead of FCL; 'fcl*' method names map to
+'gt*' (ground-truth-driven) equivalents.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffco_tpu import kernels, optim, routines, utils
+from diffco_tpu.perceptron import DiffCo
+from diffco_tpu.geometry import (Obstacles2D, planar_robot_signed_dist,
+                                 planar_robot_collision)
+from diffco_tpu.envs.presets2d import get_env
+
+METHODS = ['adamdiffco', 'aldiffco', 'bidiffco', 'diffcogradfree',
+           'givengrad', 'gtgradfree', 'gtdist']
+
+
+def build_world(env_name, dof, link_length, num_train, seed):
+    obstacles = get_env(env_name)
+    dataset = routines.autogenerate_2d_dataset(
+        num_init_points=num_train, dof=dof, link_length=link_length,
+        link_width=0.3, obstacles=obstacles, label_type='binary', seed=seed)
+    cfgs, labels, dists, _, robot = routines.unpack_dataset(dataset)
+    obs = Obstacles2D.from_obstacle_list(obstacles)
+    checker = DiffCo(kernel_func=kernels.RQKernel(10.0))
+    checker.train(cfgs, labels[:, 0], max_iteration=len(cfgs),
+                  distance=dists[:, 0])
+    checker.fit_poly(kernels.Polyharmonic(1, 1), target='label')
+    return robot, obs, checker
+
+
+def validate(robot, obs, solution, num_sub=8):
+    """Exact validation of an optimized path (ref :431-454)."""
+    dense = utils.dense_path(jnp.asarray(solution, jnp.float32), num_sub)
+    return not bool(np.asarray(
+        planar_robot_collision(robot, obs, dense)).any())
+
+
+def repair(robot, obs, solution, options):
+    """Repair a failed path with ground-truth-driven optimization
+    (ref :477-497)."""
+    def gt_dist(q):
+        return planar_robot_signed_dist(robot, obs, q).max(axis=-1)
+
+    opts = dict(options)
+    opts['init_solution'] = jnp.asarray(solution, jnp.float32)
+    opts['NUM_RE_TRIALS'] = 1
+    return optim.adam_traj_optimize(
+        robot, gt_dist, jnp.asarray(solution[0]),
+        jnp.asarray(solution[-1]), opts)
+
+
+def run_method(method, robot, obs, checker, start, target, options):
+    def proxy_dist(q):
+        return checker.poly_score(q).reshape(-1)
+
+    def proxy_binary(q):
+        return (checker.poly_score(q).reshape(-1) > 0).astype(jnp.float32)
+
+    def gt_dist(q):
+        return planar_robot_signed_dist(robot, obs, q).max(axis=-1)
+
+    if method == 'adamdiffco':
+        return optim.adam_traj_optimize(robot, proxy_dist, start, target,
+                                        options)
+    if method == 'aldiffco':
+        return optim.al_traj_optimize(robot, proxy_dist, start, target,
+                                      options)
+    if method == 'bidiffco':
+        return optim.gradient_free_traj_optimize(robot, proxy_binary,
+                                                 start, target, options)
+    if method == 'diffcogradfree':
+        return optim.gradient_free_traj_optimize(robot, proxy_dist,
+                                                 start, target, options)
+    if method == 'givengrad':
+        return optim.givengrad_traj_optimize(robot, proxy_dist, start,
+                                             target, options)
+    if method == 'gtgradfree':
+        return optim.gradient_free_traj_optimize(robot, gt_dist, start,
+                                                 target, options)
+    if method == 'gtdist':
+        return optim.adam_traj_optimize(robot, gt_dist, start, target,
+                                        options)
+    raise ValueError(method)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--envs', nargs='+', default=['1rect_1circle', '3circle'])
+    p.add_argument('--methods', nargs='+', default=['adamdiffco',
+                                                    'gtgradfree'])
+    p.add_argument('--dof', type=int, default=2)
+    p.add_argument('--link-length', type=float, default=3.5)
+    p.add_argument('--num-train', type=int, default=6000)
+    p.add_argument('--num-problems', type=int, default=5)
+    p.add_argument('--waypoints', type=int, default=20)
+    p.add_argument('--maxiter', type=int, default=200)
+    p.add_argument('--trials', type=int, default=5)
+    p.add_argument('--seed', type=int, default=1917)
+    p.add_argument('--output', default='results/speed_compare.json')
+    p.add_argument('--no-resume', action='store_true')
+    args = p.parse_args()
+
+    os.makedirs(os.path.dirname(args.output) or '.', exist_ok=True)
+    results = {}
+    if os.path.exists(args.output) and not args.no_resume:
+        results = json.load(open(args.output))
+        print(f'resuming: {len(results)} env/method records present')
+
+    for env_name in args.envs:
+        robot, obs, checker = build_world(
+            env_name, args.dof, args.link_length, args.num_train, args.seed)
+        key = jax.random.PRNGKey(args.seed)
+        q = robot.rand_configs(512, key)
+        free = ~np.asarray(planar_robot_collision(robot, obs, q))
+        idx = np.where(free)[0]
+        pairs = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
+                 for i in range(args.num_problems)]
+        options = {'N_WAYPOINTS': args.waypoints,
+                   'NUM_RE_TRIALS': args.trials, 'MAXITER': args.maxiter,
+                   'history': False, 'safety_margin': 0.0,
+                   'max_speed': 2.0, 'seed': args.seed}
+        for method in args.methods:
+            tag = f'{env_name}/{method}'
+            if tag in results:  # resume (ref :566-582)
+                continue
+            recs = []
+            for pi, (s, t) in enumerate(pairs):
+                rec = run_method(method, robot, obs, checker, s, t,
+                                 {**options, 'seed': args.seed + pi})
+                rec['valid'] = validate(robot, obs,
+                                        np.asarray(rec['solution']))
+                if not rec['valid']:
+                    t0 = time.time()
+                    fixed = repair(robot, obs, np.asarray(rec['solution']),
+                                   options)
+                    rec['repair_time'] = time.time() - t0
+                    rec['repaired_valid'] = validate(
+                        robot, obs, np.asarray(fixed['solution']))
+                    if rec['repaired_valid']:
+                        rec['solution'] = fixed['solution']
+                recs.append(rec)
+            summary = {
+                'success_rate': float(np.mean([r['success'] for r in recs])),
+                'valid_rate': float(np.mean([r['valid'] for r in recs])),
+                'mean_cost': float(np.mean([r['cost'] for r in recs])),
+                'mean_time': float(np.mean([r['time'] for r in recs])),
+                'mean_cnt_check': float(np.mean([r['cnt_check']
+                                                 for r in recs])),
+                'records': recs,
+            }
+            results[tag] = summary
+            with open(args.output, 'w') as f:
+                json.dump(results, f, indent=1)
+            print(f"{tag}: success {summary['success_rate']:.2f} "
+                  f"valid {summary['valid_rate']:.2f} "
+                  f"time {summary['mean_time']:.3f}s "
+                  f"checks {summary['mean_cnt_check']:.0f}")
+    print(f'results written to {args.output}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""End-to-end 2D trajectory optimization (the paper's minimum slice).
+
+Parity targets: /root/reference/scripts/2d_trajopt.py:18-118 — autogen
+dataset -> (Multi)DiffCo train -> Polyharmonic fit -> adam_traj_optimize
+with per-class safety margins -> C-space + workspace plot saved to file.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffco_tpu import kernels, optim, routines, utils
+from diffco_tpu.perceptron import DiffCo, MultiDiffCo
+from diffco_tpu.geometry import (Obstacles2D, planar_robot_collision)
+from diffco_tpu.envs.presets2d import get_env
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--env', default='2class_1')
+    p.add_argument('--dof', type=int, default=2)
+    p.add_argument('--link-length', type=float, default=3.5)
+    p.add_argument('--num-samples', type=int, default=8000)
+    p.add_argument('--safety-margin', type=float, nargs='+', default=[0.0])
+    p.add_argument('--optimizer', default='adam',
+                   choices=['adam', 'al', 'givengrad', 'gradient_free'])
+    p.add_argument('--waypoints', type=int, default=20)
+    p.add_argument('--maxiter', type=int, default=200)
+    p.add_argument('--trials', type=int, default=10)
+    p.add_argument('--seed', type=int, default=1917)
+    p.add_argument('--plot', default=None, help='save plot to this path')
+    p.add_argument('--output', default=None, help='save trajectory JSON')
+    args = p.parse_args()
+
+    obstacles = get_env(args.env)
+    dataset = routines.autogenerate_2d_dataset(
+        num_init_points=args.num_samples, dof=args.dof,
+        link_length=args.link_length, link_width=0.3,
+        obstacles=obstacles, label_type='class', seed=args.seed)
+    cfgs, labels, dists, _, robot = routines.unpack_dataset(dataset)
+    num_class = labels.shape[1]
+
+    checker = MultiDiffCo(kernel_func=kernels.RQKernel(10.0)) \
+        if num_class > 1 else DiffCo(kernel_func=kernels.RQKernel(10.0))
+    y = labels if num_class > 1 else labels[:, 0]
+    t0 = time.time()
+    checker.train(cfgs, y, max_iteration=len(cfgs), verbose=True)
+    checker.fit_poly(kernels.Polyharmonic(1, 1), target='label')
+    print(f'train+fit: {time.time() - t0:.2f}s, '
+          f'{checker.num_valid} supports')
+
+    margins = jnp.asarray(
+        np.resize(np.asarray(args.safety_margin, np.float32), num_class))
+
+    def dist_est(q):
+        s = checker.poly_score(q)
+        return jnp.max(s - margins, axis=-1)
+
+    obs = Obstacles2D.from_obstacle_list(obstacles)
+    key = jax.random.PRNGKey(args.seed)
+    q = robot.rand_configs(200, key)
+    free = ~np.asarray(planar_robot_collision(robot, obs, q))
+    idx = np.where(free)[0]
+    start_cfg, target_cfg = q[idx[0]], q[idx[-1]]
+
+    options = {'N_WAYPOINTS': args.waypoints, 'NUM_RE_TRIALS': args.trials,
+               'MAXITER': args.maxiter, 'history': False,
+               'safety_margin': 0.0, 'max_speed': 2.0, 'seed': args.seed}
+    opt_fn = {'adam': optim.adam_traj_optimize,
+              'al': optim.al_traj_optimize,
+              'givengrad': optim.givengrad_traj_optimize,
+              'gradient_free': optim.gradient_free_traj_optimize}[
+                  args.optimizer]
+    checker_arg = dist_est if args.optimizer != 'gradient_free' else (
+        lambda qq: dist_est(qq))
+    rec = opt_fn(robot, checker_arg, start_cfg, target_cfg, options)
+    sol = np.asarray(rec['solution'])
+    dense = utils.dense_path(jnp.asarray(sol, jnp.float32), 8)
+    gt_free = not bool(np.asarray(
+        planar_robot_collision(robot, obs, dense)).any())
+    print(f"optimizer={args.optimizer} success={rec['success']} "
+          f"cost={rec['cost']:.3f} time={rec['time']:.3f}s "
+          f"cnt_check={rec['cnt_check']} GT-valid={gt_free}")
+
+    if args.output:
+        with open(args.output, 'w') as f:
+            json.dump(rec, f, indent=1)
+    if args.plot:
+        _plot(robot, obs, checker, dist_est, sol, args.plot)
+    return rec
+
+
+def _plot(robot, obs, checker, dist_est, sol, path):
+    """C-space score field + workspace arm sweep (ref 2d_trajopt
+    create_plots)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle, Rectangle
+
+    fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+    ax = axes[0]
+    for c in np.asarray(obs.circles):
+        ax.add_patch(Circle(c[:2], c[2], color='tab:gray', alpha=0.6))
+    for r in np.asarray(obs.rects):
+        ax.add_patch(Rectangle(
+            (r[0] - r[2], r[1] - r[3]), 2 * r[2], 2 * r[3],
+            angle=np.degrees(r[4]),
+            rotation_point='center', color='tab:gray', alpha=0.6))
+    pts = np.asarray(robot.fkine(jnp.asarray(sol, jnp.float32)))
+    base = np.zeros((len(pts), 1, 2))
+    pts = np.concatenate([base, pts], axis=1)
+    for i, arm in enumerate(pts):
+        ax.plot(arm[:, 0], arm[:, 1], '-o', lw=2, ms=3,
+                color=plt.cm.viridis(i / max(len(pts) - 1, 1)), alpha=0.7)
+    lim = float(np.abs(pts).max()) + 1
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
+    ax.set_aspect('equal')
+    ax.set_title('workspace sweep')
+
+    if sol.shape[1] == 2:
+        ax2 = axes[1]
+        n = 200
+        grid = np.stack(np.meshgrid(np.linspace(-np.pi, np.pi, n),
+                                    np.linspace(-np.pi, np.pi, n)),
+                        axis=2).reshape(-1, 2)
+        scores = np.asarray(dist_est(jnp.asarray(grid, jnp.float32)))
+        scores = scores.reshape(n, n)
+        m = np.abs(scores).max()
+        ax2.pcolormesh(grid[:, 0].reshape(n, n), grid[:, 1].reshape(n, n),
+                       scores, cmap='RdBu_r', vmin=-m, vmax=m)
+        ax2.contour(grid[:, 0].reshape(n, n), grid[:, 1].reshape(n, n),
+                    (scores > 0).astype(float), levels=[0.5], colors='k')
+        ax2.plot(sol[:, 0], sol[:, 1], 'g-o', ms=3)
+        ax2.set_title('C-space score + path')
+    fig.savefig(path, dpi=110, bbox_inches='tight')
+    print(f'plot saved to {path}')
+
+
+if __name__ == '__main__':
+    main()

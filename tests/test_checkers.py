@@ -1,0 +1,145 @@
+"""Flagship integration tests: ForwardKinematicsDiffCo on URDF robots vs
+ShapeEnv, mirroring the reference's examples/tests/test_fkine_diffco.py
+(fit TPR >= 0.9, active-learning recovery) with the JAX-native geometric
+ground truth standing in for FCL."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import diffco_tpu as dc
+
+HAS_ROBOT_DATA = os.path.isdir(dc.robot_description_folder)
+
+
+def _translation(t):
+    T = np.eye(4)
+    T[:3, 3] = t
+    return T
+
+
+@pytest.fixture(scope='module')
+def panda_world():
+    shape_env = dc.ShapeEnv(shapes={
+        'box1': {'type': 'Box', 'params': {'extents': [0.1, 0.1, 0.1]},
+                 'transform': _translation([0.5, 0.5, 0.5])},
+        'sphere1': {'type': 'Sphere', 'params': {'radius': 0.1},
+                    'transform': _translation([0.5, 0, 0])},
+        'cylinder1': {'type': 'Cylinder',
+                      'params': {'radius': 0.1, 'height': 0.2},
+                      'transform': _translation([0, -0.5, 0.5])},
+        'capsule1': {'type': 'Capsule',
+                     'params': {'radius': 0.1, 'height': 0.2},
+                     'transform': _translation([0.5, 0.5, 0])},
+    })
+    robot = dc.FrankaPanda(load_gripper=True, setup_acm=True,
+                           link_spheres=24)
+    return robot, shape_env
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_fk_diffco_panda_fit(panda_world):
+    robot, shape_env = panda_world
+    fkdc = dc.ForwardKinematicsDiffCo(robot=robot, environment=shape_env)
+    acc, tpr, tnr = fkdc.fit(num_samples=3000, verbose=True)
+    # reference asserts only TPR >= 0.9 (test_fkine_diffco.py:44-47) — the
+    # safety bias intentionally trades TNR for TPR
+    assert tpr >= 0.9
+    # batched inference over arbitrary leading shapes
+    q = robot.rand_configs(50, jax.random.PRNGKey(3)).reshape(5, 10, -1)
+    scores = fkdc.collision_score(q)
+    assert scores.shape[:2] == (5, 10)
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_fk_diffco_2link_fit():
+    shape_env = dc.ShapeEnv(shapes={
+        'box1': {'type': 'Box', 'params': {'extents': [0.5, 0.5, 0.5]},
+                 'transform': _translation([1.0, 1.0, 0.2])},
+        'sphere1': {'type': 'Sphere', 'params': {'radius': 0.4},
+                    'transform': _translation([-1.0, 0.5, 0.15])},
+    })
+    robot = dc.TwoLinkRobot(setup_acm=False)
+    fkdc = dc.ForwardKinematicsDiffCo(robot=robot, environment=shape_env)
+    acc, tpr, tnr = fkdc.fit(num_samples=1000, verbose=True)
+    # reference asserts all three >= 0.88 for TwoLink
+    # (test_fkine_diffco.py:63-67)
+    assert acc >= 0.88 and tpr >= 0.88 and tnr >= 0.88
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_active_learning_recovery(panda_world):
+    """Move obstacles -> TPR drops -> update() restores it
+    (ref test_fkine_diffco.py:117-189)."""
+    robot, _ = panda_world
+    shape_env = dc.ShapeEnv(shapes={
+        'box1': {'type': 'Box', 'params': {'extents': [0.3, 0.3, 0.3]},
+                 'transform': _translation([0.5, 0.3, 0.4])},
+        'sphere1': {'type': 'Sphere', 'params': {'radius': 0.2},
+                    'transform': _translation([-0.4, 0.4, 0.6])},
+    })
+    fkdc = dc.ForwardKinematicsDiffCo(robot=robot, environment=shape_env)
+    acc, tpr, tnr = fkdc.fit(num_samples=3000)
+    assert tpr >= 0.85
+
+    # move the obstacles
+    shape_env.update_transform('box1', _translation([0.2, -0.5, 0.5]))
+    shape_env.update_transform('sphere1', _translation([0.5, -0.3, 0.3]))
+
+    q_verify = robot.rand_configs(800, jax.random.PRNGKey(17))
+    acc2, tpr2, tnr2 = fkdc.verify(q_verify)
+    # update with fresh samples restores accuracy
+    for _ in range(3):
+        fkdc.update(num_samples=300)
+        acc3, tpr3, tnr3 = fkdc.verify(q_verify)
+        if tpr3 >= 0.9:
+            break
+    assert tpr3 >= 0.85
+    assert acc3 >= acc2 - 0.05
+
+
+def test_rbf_diffco_gt_func_only():
+    """RBFDiffCo with a custom gt_check_func and no URDF robot."""
+    from diffco_tpu.robots import RevolutePlanarRobot
+    from diffco_tpu.geometry import (Obstacles2D, planar_robot_collision)
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([
+        ('circle', (1.6, 1.0), 0.7), ('rect', (-1.2, -1.0), (1.2, 1.2))])
+
+    def gt(q):
+        return planar_robot_collision(robot, obs, q)
+
+    checker = dc.RBFDiffCo(robot=robot, gt_check_func=gt)
+    acc, tpr, tnr = checker.fit(num_samples=1500, verbose=True)
+    assert acc >= 0.85
+    # safety bias is positive and pushes predictions conservative
+    assert checker.safety_bias > 0
+    q = robot.rand_configs(10, jax.random.PRNGKey(0))
+    s_raw = checker.collision_score(q, bias=0.0)
+    s_biased = checker.collision_score(q)
+    assert np.all(np.asarray(s_biased) >= np.asarray(s_raw))
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_checker_save_load(tmp_path):
+    from diffco_tpu import routines
+    from diffco_tpu.robots import RevolutePlanarRobot
+    from diffco_tpu.geometry import Obstacles2D, planar_robot_collision
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([('circle', (1.6, 1.0), 0.7)])
+    checker = dc.RBFDiffCo(
+        robot=robot,
+        gt_check_func=lambda q: planar_robot_collision(robot, obs, q))
+    checker.fit(num_samples=800)
+    path = str(tmp_path / 'checker.npz')
+    routines.save_pretrained_checker(checker.perceptron, path)
+
+    fresh = dc.DiffCo(kernel_func=dc.kernel.RQKernel(10))
+    fresh.rbf_kernel = dc.kernel.Polyharmonic(1, 1)
+    routines.load_pretrained_checker(fresh, path)
+    q = robot.rand_configs(64, jax.random.PRNGKey(5))
+    s1 = np.asarray(checker.perceptron.poly_score(q))
+    s2 = np.asarray(fresh.poly_score(q))
+    assert np.allclose(s1, s2, atol=1e-5)
