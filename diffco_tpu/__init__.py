@@ -29,7 +29,8 @@ from .robots.urdf import (
     URDFRobot, MultiURDFRobot, KUKAiiwa, FrankaPanda, TwoLinkRobot,
     TrifingerEdu, robot_description_folder,
 )
-from .perceptron import Perceptron, DiffCo, DiffCoBeta, MultiDiffCo
+from .perceptron import (Perceptron, DiffCo, DiffCoBeta, MultiDiffCo,
+                         MultiDimDiffCo)
 from .checkers import (
     CollisionChecker, RBFDiffCo, ForwardKinematicsDiffCo,
     HybridForwardKinematicsDiffCo, OptimisticChecker,
@@ -37,5 +38,11 @@ from .checkers import (
 from .envs import ShapeEnv, CollisionEnv
 from .envs.shape_env import PCDEnv
 from . import geometry
+from . import profiling
+from .sampler import OptimSampler
+from .planning import MotionPlanner, RRTStar
+from .dynamics import (ObstacleMotion, LinearMotion, SineMotion,
+                       Dynamic1DChecker)
+from .robots.capsule_chain import CapsuleChainCollision
 
 __version__ = '0.1.0'

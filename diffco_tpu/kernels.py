@@ -225,3 +225,29 @@ class LineFKKernel(KernelFunc):
         xp_controls = self.fkine(
             x_primes.reshape(-1, dof)).reshape(x_primes.shape[0], -1)
         return self.base_kernel(xs_controls, xp_controls)
+
+
+class MultiDimRQKernel(KernelFunc):
+    """Per-control-point rational-quadratic kernel: vector-valued
+    k(x, x')[c] = RQ(x_c, x'_c) over each control point c separately.
+
+    The reference's MultiDimDiffCo names ``kernel.MultiDimRQKernel`` as
+    its default (kernel_perceptrons.py:914) but never implements it —
+    default construction there fails. This is the natural definition:
+    inputs [N, M, d] of per-control-point features; output [N, N', M].
+    """
+
+    def __init__(self, gamma: float, p: int = 2):
+        self.gamma = float(gamma)
+        self.p = p
+
+    def __call__(self, xs, x_primes):
+        xs = jnp.asarray(xs)
+        x_primes = jnp.asarray(x_primes)
+        if xs.ndim == 2:
+            xs = xs[None]
+        if x_primes.ndim == 2:
+            x_primes = x_primes[None]
+        # [N, 1, M, d] - [1, N', M, d] -> d2 [N, N', M]
+        d2 = jnp.sum((xs[:, None] - x_primes[None]) ** 2, axis=-1)
+        return (1.0 + (self.gamma / self.p) * d2) ** (-self.p)

@@ -567,3 +567,192 @@ class MultiDiffCo(DiffCo):
 
     def predict(self, point):
         return (self.score(point) > 0) * 2 - 1
+
+
+@functools.partial(jax.jit, static_argnames=('max_iteration',))
+def multidim_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
+                        max_iteration: int,
+                        init_gains: Optional[jnp.ndarray] = None,
+                        init_hypothesis: Optional[jnp.ndarray] = None):
+    """Vector-gain greedy training (ref MultiDimDiffCo.train_perceptron,
+    kernel_perceptrons.py:976-1096).
+
+    K: [N, N, C] vector-valued Gram tensor (per-control-point kernels);
+    gains: [N, C]; hypothesis h_i = sum_j K[i, j] . g_j. The min-margin
+    update uses the rank-1 pseudo-inverse of the diagonal kernel vector:
+    delta = (target - h_i) * K_ii / ||K_ii||^2 (ref :1004-1006).
+    """
+    N, _, C = K.shape
+    y = y.reshape(-1).astype(K.dtype)
+    diagK = K[jnp.arange(N), jnp.arange(N)]          # [N, C]
+    target = jnp.where(y > 0, jnp.asarray(beta, K.dtype),
+                       jnp.asarray(-1.0, K.dtype))
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(jnp.logical_not(done), it < max_iteration)
+
+    def body(state):
+        gains, hyp, it, _ = state
+        margin = y * hyp
+        min_i = jnp.argmin(margin)
+        take_update = margin[min_i] <= 0
+        k_ii = diagK[min_i]
+        inv_k = k_ii / jnp.maximum(jnp.sum(k_ii ** 2), 1e-12)
+        delta_vec = (target[min_i] - hyp[min_i]) * inv_k    # [C]
+
+        # removal step (ref :1021-1031)
+        delta_h = jnp.sum(diagK * gains, axis=-1)           # [N]
+        nonzero = jnp.any(gains != 0, axis=-1)
+        modified = y * (hyp - delta_h) * nonzero
+        max_i = jnp.argmax(modified)
+        removable = jnp.logical_and(modified[max_i] > 0,
+                                    jnp.sum(nonzero) > 1)
+        take_remove = jnp.logical_and(jnp.logical_not(take_update),
+                                      removable)
+        done = jnp.logical_and(jnp.logical_not(take_update),
+                               jnp.logical_not(removable))
+
+        idx = jnp.where(take_update, min_i, max_i)
+        delta = jnp.where(take_update, delta_vec,
+                          jnp.where(take_remove, -gains[max_i],
+                                    jnp.zeros(C, K.dtype)))
+        gains = gains.at[idx].add(delta)
+        hyp = hyp + K[idx] @ delta                          # [N]
+        return gains, hyp, it + 1, done
+
+    gains0 = (jnp.zeros((N, C), K.dtype) if init_gains is None
+              else init_gains)
+    hyp0 = jnp.zeros(N, K.dtype) if init_hypothesis is None \
+        else init_hypothesis
+    gains, hyp, it, _ = lax.while_loop(
+        cond, body, (gains0, hyp0, jnp.asarray(0), jnp.asarray(False)))
+    return gains, hyp, it
+
+
+class MultiDimDiffCo(Perceptron):
+    """Vector-gain perceptron: the kernel returns per-control-point values
+    and each support carries a gain per control point
+    (ref kernel_perceptrons.py:909-1301).
+
+    Note: the Gram tensor is [N, N, C]; keep N modest (<= a few thousand)
+    or supply ``max_num_supports``.
+    """
+
+    def __init__(self, kernel_func=None, gamma=1, beta=1, transform=None,
+                 max_batch_size=None, max_num_supports=None):
+        super().__init__()
+        from .kernels import MultiDimRQKernel
+        self.kernel_func = (MultiDimRQKernel(gamma) if kernel_func is None
+                            or kernel_func == 'multi_dim_rq'
+                            else kernel_func)
+        self.beta = float(beta)
+        self.transform = transform
+        self.max_num_supports = max_num_supports
+        self.support_points = None
+        self.support_transformed = None
+        self.gains = None
+        self.hypothesis = None
+        self.y = None
+        self.distance = None
+        self.kernel_matrix = None
+        self.rbf_nodes = None
+        self.valid_mask = None
+        self.num_valid = 0
+        self.rbf_kernel = None
+
+    def _apply_transform(self, X):
+        """Keeps the per-control-point structure: [N, M, d]."""
+        if self.transform is None:
+            Xt = jnp.asarray(X)
+            return Xt[:, :, None] if Xt.ndim == 2 else Xt
+        return self.transform(X)
+
+    def _pad_size(self, count):
+        if self.max_num_supports is not None:
+            return self.max_num_supports
+        return max(64, int(np.ceil(count / 64.0)) * 64)
+
+    @property
+    def valid_supports(self):
+        return self.num_valid
+
+    def train(self, X, y, update=False, exist_mask=None, max_iteration=1000,
+              method='original', distance=None, verbose=False):
+        del method, update, exist_mask
+        X = jnp.asarray(X)
+        y = jnp.asarray(y).reshape(-1)
+        Xt = self._apply_transform(X)                 # [N, M, d]
+        K = self.kernel_func(Xt, Xt)                  # [N, N, C]
+        gains, hyp, it = multidim_train_loop(K, y, self.beta,
+                                             int(max_iteration))
+        if verbose:
+            acc = float(jnp.mean((hyp > 0) == (y > 0)))
+            print(f'MultiDimDiffCo ended at iteration {it}, ACC {acc:.4f}')
+
+        count = int(jnp.sum(jnp.any(gains != 0, axis=-1)))
+        S = self._pad_size(max(count, 2))
+        idx, valid, num_valid = extract_supports(gains, S)
+        vf = valid.astype(K.dtype)
+        take = lambda a: jnp.take(a, idx, axis=0) * vf.reshape(
+            (S,) + (1,) * (a.ndim - 1)).astype(a.dtype)
+        self.support_points = take(X)
+        self.support_transformed = take(Xt)
+        self.gains = take(gains)
+        self.hypothesis = take(hyp)
+        self.y = take(y.astype(K.dtype))
+        self.distance = (take(jnp.asarray(distance).reshape(-1))
+                         if distance is not None else None)
+        self.kernel_matrix = (
+            jnp.take(jnp.take(K, idx, axis=0), idx, axis=1)
+            * vf[:, None, None] * vf[None, :, None])
+        self.valid_mask = valid
+        self.num_valid = int(num_valid)
+        self.rbf_nodes = jnp.zeros_like(self.gains)
+
+    def fit_poly(self, kernel_func=None, target='hypo'):
+        """Least-squares fit over the flattened vector kernel
+        (ref :1172-1215 uses lstsq on kmat [S, S*C])."""
+        from .kernels import MultiDimRQKernel
+        self.rbf_kernel = (MultiDimRQKernel(1.0) if kernel_func is None
+                           else kernel_func)
+        if target == 'hypo':
+            yv = self.hypothesis
+        elif 'dist' in target:
+            yv = self.distance
+        else:
+            yv = self.y
+        kmat = self.rbf_kernel(self.support_transformed,
+                               self.support_transformed)  # [S, S, C]
+        S = kmat.shape[0]
+        m = self.valid_mask.astype(kmat.dtype)
+        kflat = (kmat * m[:, None, None] * m[None, :, None]).reshape(S, -1)
+        sol, _, _, _ = jnp.linalg.lstsq(kflat, (yv * m)[:, None],
+                                        rcond=1e-6)
+        self.rbf_nodes = sol.reshape(S, -1) * m[:, None]
+
+    def poly_score(self, point=None, transformed_point=None):
+        if transformed_point is None:
+            point = jnp.atleast_2d(jnp.asarray(point))
+            pt = self._apply_transform(point)
+        else:
+            pt = jnp.asarray(transformed_point)
+        kv = self.rbf_kernel(pt, self.support_transformed)  # [B, S, C]
+        kv = kv * self.valid_mask.astype(kv.dtype)[None, :, None]
+        return jnp.matmul(kv.reshape(kv.shape[0], -1),
+                          self.rbf_nodes.reshape(-1, 1),
+                          precision='highest')
+
+    def score_original(self, point):
+        point = jnp.atleast_2d(jnp.asarray(point))
+        pt = self._apply_transform(point)
+        kv = self.kernel_func(pt, self.support_transformed)  # [B, S, C]
+        kv = kv * self.valid_mask.astype(kv.dtype)[None, :, None]
+        return jnp.einsum('bsc,sc->b', kv, self.gains,
+                          precision='highest')
+
+    def score(self, point):
+        return self.score_original(point)
+
+    def predict(self, point):
+        return (self.score(point) > 0) * 2 - 1

@@ -1,0 +1,42 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffco_tpu.legacy import (Obstacle, FCLObstacle, FCLChecker,
+                               Simple1DDynamicObstacle,
+                               Simple1DDynamicChecker)
+from diffco_tpu.dynamics import LinearMotion
+from diffco_tpu.robots import RevolutePlanarRobot
+
+
+def test_obstacle_point_collision():
+    circ = Obstacle('circle', (2.0, 0.0), 1.0)
+    assert bool(circ.is_collision(jnp.asarray([2.5, 0.0]))[0])
+    assert not bool(circ.is_collision(jnp.asarray([0.0, 0.0]))[0])
+    rect = Obstacle('rect', (0.0, 2.0), (2.0, 1.0))
+    assert bool(rect.is_collision(jnp.asarray([0.5, 2.2]))[0])
+    assert not bool(rect.is_collision(jnp.asarray([2.0, 2.0]))[0])
+
+
+def test_fcl_checker_predict(key):
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obstacles = [FCLObstacle('circle', (1.5, 1.0), 0.6, category=0),
+                 FCLObstacle('rect', (-1.2, -1.0), (1.2, 1.2), category=1)]
+    checker = FCLChecker(obstacles, robot=robot, label_type='class',
+                         num_class=2)
+    q = robot.rand_configs(100, key)
+    labels, dists = checker.predict(q, distance=True)
+    assert labels.shape == (100, 2) and dists.shape == (100, 2)
+    # labels match the sign of signed distances (FCLChecker.py semantics)
+    assert np.all(np.asarray(labels) == (np.asarray(dists) > 0) * 2 - 1)
+
+
+def test_simple_1d_dynamic_checker():
+    obs = Simple1DDynamicObstacle(1.0, LinearMotion(2.0, 0.5))
+    checker = Simple1DDynamicChecker([obs])
+    # at t=0: obstacle in [1.5, 2.5]
+    labels, dists = checker.predict(jnp.asarray([[2.0, 0.0], [0.0, 0.0]]))
+    assert int(labels[0, 0]) == 1 and int(labels[1, 0]) == -1
+    # at t=4: obstacle centered at 4
+    labels2, _ = checker.predict(jnp.asarray([[4.0, 4.0]]))
+    assert int(labels2[0, 0]) == 1
