@@ -44,5 +44,10 @@ from .planning import MotionPlanner, RRTStar
 from .dynamics import (ObstacleMotion, LinearMotion, SineMotion,
                        Dynamic1DChecker)
 from .robots.capsule_chain import CapsuleChainCollision
+# legacy obstacle-list API (the reference's deprecated/ names, still used
+# by its experiment scripts: scripts/active.py:24, speed_compare.py:18)
+from . import legacy
+from .legacy import (Obstacle, FCLObstacle, FCLChecker,
+                     Simple1DDynamicObstacle, Simple1DDynamicChecker)
 
 __version__ = '0.1.0'

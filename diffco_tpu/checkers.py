@@ -154,15 +154,28 @@ class RBFDiffCo(CollisionChecker):
 
         if 0 < verify_ratio < 1:
             num_verify = int(verify_ratio * num_samples)
-            perm = jax.random.permutation(self._next_key(), num_samples)
-            verify_idx = perm[:num_verify]
+            if update and exist_mask is not None:
+                # existing supports must all stay in the training split —
+                # the warm start seeds their gains positionally. Draw the
+                # verify set from non-support rows with an EXACT count so
+                # the training shape is identical across updates (a varying
+                # shape would recompile the training program every step).
+                exist_mask = jnp.asarray(exist_mask)
+                non_exist = np.where(~np.asarray(exist_mask))[0]
+                num_verify = min(num_verify, len(non_exist))
+                sel = jax.random.permutation(
+                    self._next_key(), len(non_exist))[:num_verify]
+                verify_idx = jnp.asarray(non_exist)[sel]
+            else:
+                perm = jax.random.permutation(self._next_key(), num_samples)
+                verify_idx = perm[:num_verify]
             verify_mask = jnp.zeros(num_samples, bool).at[verify_idx].set(True)
             q_train, q_verify = q[~verify_mask], q[verify_mask]
             labels_train = labels[~verify_mask]
             labels_verify = labels[verify_mask]
             dists_train = dists[~verify_mask]
             if update and exist_mask is not None:
-                exist_mask = jnp.asarray(exist_mask)[~verify_mask]
+                exist_mask = exist_mask[~verify_mask]
         elif verify_ratio:
             raise ValueError(
                 f'verify_ratio should be in (0, 1), got {verify_ratio}')
@@ -171,9 +184,12 @@ class RBFDiffCo(CollisionChecker):
             q_verify = self.robot.rand_configs(100, self._next_key())
             labels_verify = None
 
+        # the reference caps training at N iterations
+        # (collision_checkers.py:205); the greedy loop often needs ~2N to
+        # converge at N >= 5000, and on TPU iterations are cheap — use 3N
         self.perceptron.train(
             q_train, labels_train, update=update, exist_mask=exist_mask,
-            max_iteration=q_train.shape[0], distance=dists_train,
+            max_iteration=3 * q_train.shape[0], distance=dists_train,
             verbose=verbose)
         inference_kernel_func = kernel.Polyharmonic(k=1, epsilon=1)
         self.perceptron.fit_poly(kernel_func=inference_kernel_func,
@@ -216,9 +232,20 @@ class RBFDiffCo(CollisionChecker):
                 self._next_key(), (mul, sel.shape[0], dof)) * exploit_std
             exploit = sel[None] + noise
             lims = self.robot.joint_limits
+            # exactly n_exploit rows: mul * nv varies with the support
+            # count and a drifting batch shape would recompile training
             exploit = jnp.clip(exploit.reshape(-1, dof),
-                               lims[:, 0], lims[:, 1])
-            explore = self.robot.rand_configs(n_explore, self._next_key())
+                               lims[:, 0], lims[:, 1])[:n_exploit]
+            # bucket the total to a multiple of 256 by drawing extra explore
+            # samples: the support count changes every update, and a fresh
+            # dataset shape would force the TPU to recompile the training
+            # program each step (~1 min) — padding with more uniform samples
+            # is free and keeps shapes stable across updates
+            base_total = exploit.shape[0] + n_explore + supports.shape[0]
+            bucket = -(-base_total // 256) * 256
+            n_explore_padded = n_explore + (bucket - base_total)
+            explore = self.robot.rand_configs(n_explore_padded,
+                                              self._next_key())
             q = jnp.concatenate([exploit, explore, supports], axis=0)
             exist_mask = jnp.zeros(q.shape[0], bool).at[
                 -supports.shape[0]:].set(True)

@@ -133,7 +133,7 @@ def train_checker(checker, cfgs, labels, dists=None, fkine=None,
     """Train a raw perceptron on a provided dataset
     (ref routines.py:158-193)."""
     del fkine
-    max_iteration = max_iteration or cfgs.shape[0]
+    max_iteration = max_iteration or 3 * cfgs.shape[0]
     labels = jnp.asarray(labels)
     checker.train(cfgs, labels, max_iteration=max_iteration,
                   distance=dists, verbose=verbose)

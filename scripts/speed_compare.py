@@ -40,7 +40,7 @@ def build_world(env_name, dof, link_length, num_train, seed):
     cfgs, labels, dists, _, robot = routines.unpack_dataset(dataset)
     obs = Obstacles2D.from_obstacle_list(obstacles)
     checker = DiffCo(kernel_func=kernels.RQKernel(10.0))
-    checker.train(cfgs, labels[:, 0], max_iteration=len(cfgs),
+    checker.train(cfgs, labels[:, 0], max_iteration=3 * len(cfgs),
                   distance=dists[:, 0])
     checker.fit_poly(kernels.Polyharmonic(1, 1), target='label')
     return robot, obs, checker
@@ -156,6 +156,7 @@ def main():
                         robot, obs, np.asarray(fixed['solution']))
                     if rec['repaired_valid']:
                         rec['solution'] = fixed['solution']
+                        rec['valid'] = True
                 recs.append(rec)
             summary = {
                 'success_rate': float(np.mean([r['success'] for r in recs])),

@@ -50,7 +50,7 @@ def main():
         fkine=lambda x: x, rqkernel=kernels.RQKernel(args.gamma_x),
         t_rqkernel=kernels.RQKernel(args.gamma_t), alpha=args.alpha)
     clf = DiffCo(kernel_func=kern)
-    clf.train(xt_n, labels, max_iteration=args.num_samples, distance=dists)
+    clf.train(xt_n, labels, max_iteration=3 * args.num_samples, distance=dists)
     clf.fit_poly(kernels.Polyharmonic(1, 1), target='label')
 
     key2 = jax.random.split(key)[0]

@@ -52,7 +52,7 @@ def main():
     checker = DiffCo(kernel_func=kernels.RQKernel(10.0))
     t0 = time.time()
     checker.train(cfgs[train_mask], labels[train_mask],
-                  max_iteration=args.num_train,
+                  max_iteration=3 * args.num_train,
                   distance=dists[train_mask])
     train_time = time.time() - t0
     checker.fit_poly(kernels.Polyharmonic(1, 1), target=args.fit_target)

@@ -52,7 +52,7 @@ def main():
         if num_class > 1 else DiffCo(kernel_func=kernels.RQKernel(10.0))
     y = labels if num_class > 1 else labels[:, 0]
     t0 = time.time()
-    checker.train(cfgs, y, max_iteration=len(cfgs), verbose=True)
+    checker.train(cfgs, y, max_iteration=3 * len(cfgs), verbose=True)
     checker.fit_poly(kernels.Polyharmonic(1, 1), target='label')
     print(f'train+fit: {time.time() - t0:.2f}s, '
           f'{checker.num_valid} supports')

@@ -63,12 +63,12 @@ def main():
     if args.use_beta:
         clf = DiffCoBeta(kernel_func=kernels.RQKernel(1.0),
                          rbf_kernel=kernels.Polyharmonic(1, 1))
-        clf.train(q, dist, max_iteration=args.num_samples,
+        clf.train(q, dist, max_iteration=3 * args.num_samples,
                   n_left_out_points=300)
         dist_est = lambda p: clf.rbf_score(p).reshape(-1)
     else:
         clf = DiffCo(kernel_func=kernels.RQKernel(1.0))
-        clf.train(q, labels, max_iteration=args.num_samples, distance=dist)
+        clf.train(q, labels, max_iteration=3 * args.num_samples, distance=dist)
         clf.fit_poly(kernels.Polyharmonic(1, 1), target='dist')
         dist_est = lambda p: clf.poly_score(p).reshape(-1)
     print(f'train: {time.time() - t0:.2f}s, supports {clf.num_valid}')

@@ -107,13 +107,13 @@ def main():
         clf = DiffCoBeta(kernel_func=kernels.RQKernel(10.0),
                          rbf_kernel=kernels.Polyharmonic(1, 1),
                          transform=lambda x: robot.fkine(x))
-        clf.train(q, dist, max_iteration=args.num_samples,
+        clf.train(q, dist, max_iteration=3 * args.num_samples,
                   n_left_out_points=300)
         dist_est = lambda pp: clf.rbf_score(pp).reshape(-1)
     else:
         clf = DiffCo(kernel_func=kernels.RQKernel(10.0),
                      transform=lambda x: robot.fkine(x))
-        clf.train(q, labels, max_iteration=args.num_samples, distance=dist)
+        clf.train(q, labels, max_iteration=3 * args.num_samples, distance=dist)
         clf.fit_poly(kernels.Polyharmonic(1, 1), target='dist')
         dist_est = lambda pp: clf.poly_score(pp).reshape(-1)
     print(f'train: {time.time() - t0:.2f}s supports {clf.num_valid}')
