@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def _jax_throughput(batch=32768, n_supports=512, n_inner=50, reps=4):
+def _jax_throughput(batch=65536, n_supports=512, n_inner=50, reps=4):
     """Throughput of the on-device optimization loop: lax.scan of
     score+grad steps (the shape of adam_traj_optimize's inner loop — the
     reference performs the same evaluations from a host Python loop,

@@ -19,16 +19,16 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Callable, Dict, Optional, Union
+from typing import Dict
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import kernels as kernel
-from .perceptron import Perceptron, DiffCo, DiffCoBeta, MultiDiffCo
+from .perceptron import DiffCo
 from .envs.shape_env import ShapeEnv
-from .robots.urdf import URDFRobot, MultiURDFRobot
+from .robots.urdf import URDFRobot
 
 
 class CollisionChecker:

@@ -10,7 +10,7 @@ evaluates positions for a whole batch of (q, t) pairs in one shot.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax

@@ -15,7 +15,7 @@ differentiable almost everywhere.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax

@@ -9,7 +9,7 @@ batched geometric engine instead of libfcl.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax

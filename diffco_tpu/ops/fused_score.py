@@ -20,10 +20,6 @@ All accumulation is fp32 on the MXU.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 

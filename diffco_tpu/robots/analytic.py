@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from ..utils import wrap2pi, rot_2d, euler2mat, DH2mat, matmul_f32
 from .soa import (
-    rot_compose, rot_apply, vec_add, transform_compose, dh_rot_trans,
-    rot_from_static, stack_points)
+    vec_add, transform_compose, dh_rot_trans, rot_from_static,
+    stack_points)
 
 PI = math.pi
 

@@ -10,8 +10,6 @@ approximation), queried against SceneArrays SDFs — batched on device.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -31,8 +31,7 @@ import jax.numpy as jnp
 
 from ..utils import wrap2pi
 from .kinematics import (
-    ChainSpec, chain_from_joint_list, fk_link_poses, fk_link_poses_scan,
-    FIXED, REVOLUTE, PRISMATIC)
+    ChainSpec, chain_from_joint_list, fk_link_poses_scan, FIXED)
 from ..geometry.mesh import load_mesh, spheres_from_mesh, \
     spheres_from_primitive
 from ..geometry.geometry3d import (

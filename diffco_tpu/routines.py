@@ -13,14 +13,14 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import kernels as kernel
-from .perceptron import DiffCo, MultiDiffCo
+from .perceptron import DiffCo
 from .robots.analytic import RevolutePlanarRobot, RigidPlanarBody
 from .geometry.geometry2d import Obstacles2D, planar_robot_signed_dist
 

@@ -11,8 +11,7 @@ reference optimizes one configuration at a time with a host loop.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

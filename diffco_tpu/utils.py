@@ -14,7 +14,6 @@ Design departures from the reference (torch) implementation:
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,147 @@
+"""FK correctness oracle across all available URDFs.
+
+Mirrors the reference's examples/tests/test_urdf_robot.py:30-52, which
+compares its FK against yourdfpy's scene-graph transforms for 1000 random
+configurations with np.allclose(rtol=1e-4, atol=1e-6). yourdfpy is not
+available here, so the oracle is an INDEPENDENT plain-numpy forward
+kinematics evaluated directly from the parsed URDF joints (separate code
+path from the jitted chain FK: python dict recursion, float64,
+scipy-free rotation construction).
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import diffco_tpu as dc
+from diffco_tpu.robots.urdf import parse_urdf
+from diffco_tpu.robots.kinematics import fk_link_poses, fk_link_poses_scan
+
+HAS_ROBOT_DATA = os.path.isdir(dc.robot_description_folder)
+
+URDFS = [
+    'panda_description/urdf/panda.urdf',
+    'panda_description/urdf/panda_no_gripper.urdf',
+    'kuka_iiwa/urdf/iiwa7.urdf',
+    '2link_robot.urdf',
+    'fetch_description/urdf/fetch_arm_no_gripper.urdf',
+    'kinova_description/urdf/jaco_clean.urdf',
+    'allegro/urdf/allegro_hand_description_left.urdf',
+    'trifinger_edu_description/trifinger_edu.urdf',
+]
+
+
+def _numpy_fk(joints, root, q_map):
+    """Independent recursive FK in float64 numpy.
+
+    joints: parse_urdf output. Returns {link: (R 3x3, t 3)}."""
+    children = {}
+    for j in joints:
+        children.setdefault(j['parent'], []).append(j)
+
+    def axis_rot(axis, angle):
+        axis = np.asarray(axis, np.float64)
+        n = np.linalg.norm(axis)
+        axis = axis / n if n > 0 else np.array([0.0, 0, 1])
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        return (np.eye(3) + np.sin(angle) * K
+                + (1 - np.cos(angle)) * (K @ K))
+
+    out = {root: (np.eye(3), np.zeros(3))}
+
+    def recurse(link):
+        R_p, t_p = out[link]
+        for j in children.get(link, []):
+            R_f = np.asarray(j['origin_rot'], np.float64)
+            t_f = np.asarray(j['origin_trans'], np.float64)
+            if j['type'] in ('revolute', 'continuous'):
+                qv = q_map.get(j['name'], 0.0)
+                if j.get('mimic'):
+                    src, mult, off = j['mimic']
+                    qv = q_map.get(src, 0.0) * mult + off
+                R_j = R_f @ axis_rot(j['axis'], qv)
+                t_j = t_f
+            elif j['type'] == 'prismatic':
+                qv = q_map.get(j['name'], 0.0)
+                if j.get('mimic'):
+                    src, mult, off = j['mimic']
+                    qv = q_map.get(src, 0.0) * mult + off
+                R_j = R_f
+                t_j = t_f + R_f @ (np.asarray(j['axis'], np.float64) * qv)
+            else:
+                R_j, t_j = R_f, t_f
+            out[j['child']] = (R_p @ R_j, t_p + R_p @ t_j)
+            recurse(j['child'])
+
+    recurse(root)
+    return out
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+@pytest.mark.parametrize('rel', URDFS)
+def test_fk_matches_numpy_oracle(rel):
+    path = os.path.join(dc.robot_description_folder, rel)
+    if not os.path.exists(path):
+        pytest.skip(f'{rel} not present')
+    robot = dc.URDFRobot(path, setup_acm=False)
+    _, joints, _, root = parse_urdf(path)
+    spec = robot.spec
+
+    rng = np.random.RandomState(0)
+    lims = np.asarray(robot.joint_limits)
+    n_cfg = 50
+    qs = rng.uniform(lims[:, 0], lims[:, 1],
+                     (n_cfg, robot._n_dofs)).astype(np.float32)
+
+    rot, tr = robot.fk_poses(jnp.asarray(qs))
+    rot, tr = np.asarray(rot), np.asarray(tr)
+
+    # map dofs back to joint names for the oracle
+    dof_names = [''] * robot._n_dofs
+    for li in range(spec.n_links):
+        if spec.dof_idx[li] >= 0 and spec.mimic_mult[li] == 1.0 \
+                and spec.mimic_offset[li] == 0.0:
+            name = spec.joint_names[li]
+            # non-mimic joints own their dof
+            j = next(jj for jj in joints if jj['name'] == name)
+            if j.get('mimic') is None:
+                dof_names[int(spec.dof_idx[li])] = name
+
+    for k in range(0, n_cfg, 10):
+        q_map = {n: float(v) for n, v in zip(dof_names, qs[k]) if n}
+        want = _numpy_fk(joints, root, q_map)
+        for li, lname in enumerate(spec.link_names):
+            R_w, t_w = want[lname]
+            assert np.allclose(tr[k, li], t_w, rtol=1e-4, atol=1e-5), \
+                f'{rel}:{lname} trans mismatch'
+            assert np.allclose(rot[k, li], R_w, rtol=1e-4, atol=1e-4), \
+                f'{rel}:{lname} rot mismatch'
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_unrolled_vs_scan_fk():
+    path = os.path.join(dc.robot_description_folder,
+                        'panda_description/urdf/panda.urdf')
+    robot = dc.URDFRobot(path, setup_acm=False)
+    q = robot.rand_configs(16, jax.random.PRNGKey(0))
+    r1, t1 = jax.vmap(lambda qq: fk_link_poses(robot.spec, qq))(q)
+    r2, t2 = jax.vmap(lambda qq: fk_link_poses_scan(robot.spec, qq))(q)
+    assert np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+    assert np.allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_all_urdfs_parse_and_build():
+    for rel in URDFS:
+        path = os.path.join(dc.robot_description_folder, rel)
+        if not os.path.exists(path):
+            continue
+        robot = dc.URDFRobot(path, setup_acm=False, link_spheres=4)
+        assert robot._n_dofs > 0, rel
+        q = robot.rand_configs(4, jax.random.PRNGKey(1))
+        pts = robot.fkine(q)
+        assert np.all(np.isfinite(np.asarray(pts))), rel
