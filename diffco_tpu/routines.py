@@ -226,3 +226,29 @@ def save_ompl_path(path_file: str, path, times=None):
             if times is not None:
                 cols = [times[i]] + cols
             f.write(' '.join(f'{v:.8f}' for v in cols) + '\n')
+
+
+def view_se3_path(path, keypoints=None, save_to=None):
+    """3D visualization of an SE(3) trajectory (ref routines.py:285-300
+    opens a trimesh viewer; headless here: matplotlib 3D saved to file)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    arr = np.asarray(path)
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection='3d')
+    ax.plot(arr[:, 0], arr[:, 1], arr[:, 2], '-o', ms=2)
+    ax.scatter(*arr[0, :3], c='g', s=40, label='start')
+    ax.scatter(*arr[-1, :3], c='r', s=40, label='goal')
+    if keypoints is not None:
+        from .utils import euler2mat
+        import jax.numpy as _jnp
+        kp = _jnp.asarray(keypoints)
+        for i in range(0, len(arr), max(1, len(arr) // 8)):
+            R = np.asarray(euler2mat(_jnp.asarray(arr[i, 3:6])))
+            pts = np.asarray(kp) @ R.T + arr[i, :3]
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=4, alpha=0.4)
+    ax.legend()
+    if save_to:
+        fig.savefig(save_to, dpi=110)
+    return fig

@@ -34,6 +34,11 @@ def main():
                    choices=['adam', 'al', 'givengrad', 'gradient_free'])
     p.add_argument('--waypoints', type=int, default=20)
     p.add_argument('--maxiter', type=int, default=200)
+    p.add_argument('--dense-sub', type=int, default=4)
+    p.add_argument('--init', default='straight',
+                   choices=['straight', 'rrt'],
+                   help='rrt seeds the optimizer with an RRT-Connect path '
+                        '(the reference seeds hard envs with OMPL paths)')
     p.add_argument('--trials', type=int, default=10)
     p.add_argument('--seed', type=int, default=1917)
     p.add_argument('--plot', default=None, help='save plot to this path')
@@ -73,7 +78,25 @@ def main():
 
     options = {'N_WAYPOINTS': args.waypoints, 'NUM_RE_TRIALS': args.trials,
                'MAXITER': args.maxiter, 'history': False,
-               'safety_margin': 0.0, 'max_speed': 2.0, 'seed': args.seed}
+               'safety_margin': 0.0, 'max_speed': 2.0, 'seed': args.seed,
+               'dense_sub': args.dense_sub}
+    if args.init == 'rrt':
+        from diffco_tpu.planning import MotionPlanner
+        planner = MotionPlanner(
+            robot, lambda qq: planar_robot_collision(robot, obs, qq),
+            step_size=0.5, seed=args.seed)
+        rrt_path = planner.plan(np.asarray(start_cfg),
+                                np.asarray(target_cfg), max_iters=3000)
+        if rrt_path is not None:
+            # resample to N_WAYPOINTS
+            idx = np.linspace(0, len(rrt_path) - 1,
+                              args.waypoints).astype(int)
+            options['init_solution'] = jnp.asarray(rrt_path[idx],
+                                                   jnp.float32)
+            print(f'RRT init: {len(rrt_path)} states, '
+                  f'{planner.cnt_check} checks')
+        else:
+            print('RRT found no path; falling back to straight init')
     opt_fn = {'adam': optim.adam_traj_optimize,
               'al': optim.al_traj_optimize,
               'givengrad': optim.givengrad_traj_optimize,

@@ -167,3 +167,22 @@ def test_diffco_beta_distance_regression(key):
     # distance estimates correlate strongly with true distances
     corr = np.corrcoef(est, true)[0, 1]
     assert corr > 0.75
+
+
+def test_fit_full_poly(key):
+    """Polyharmonic + linear tail interpolation (ref fit_full_poly
+    :321-354)."""
+    robot, obs, q, labels, dist = _dataset(key, n=300)
+    clf = DiffCo(kernel_func=kernels.RQKernel(10.0))
+    clf.train(q, labels, max_iteration=1500)
+    clf.fit_full_poly(epsilon=1, k=2, lmbd=0.01, target='label')
+    nv = clf.num_valid
+    sc = np.asarray(clf.full_poly_score(clf.support_points[:nv])).reshape(-1)
+    yv = np.asarray(clf.y[:nv])
+    # interpolates labels at supports (looser: the linear tail + lmbd
+    # regularization trade exactness for smoothness)
+    assert np.mean((sc > 0) == (yv > 0)) > 0.95
+    # and generalizes
+    sc_all = np.asarray(clf.full_poly_score(q)).reshape(-1)
+    acc = np.mean((sc_all > 0) == (np.asarray(labels) > 0))
+    assert acc > 0.85
