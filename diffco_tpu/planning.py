@@ -65,47 +65,86 @@ class MotionPlanner:
             return b
         return a + (b - a) * self.step_size / d
 
-    # -- RRT-Connect ---------------------------------------------------------
+    def _motions_valid_batch(self, starts: np.ndarray,
+                             ends: np.ndarray) -> np.ndarray:
+        """Validate K motions in ONE device call — the TPU-native batching
+        the reference's per-edge OMPL/FCL checks cannot do."""
+        ts = np.linspace(0.0, 1.0, self.check_resolution)
+        pts = starts[:, None, :] + ts[None, :, None] * (
+            ends - starts)[:, None, :]
+        flat = pts.reshape(-1, starts.shape[1])
+        self.cnt_check += len(flat)
+        hits = np.asarray(self.collision_fn(
+            jnp.asarray(flat, jnp.float32))).reshape(len(starts), -1)
+        return ~hits.any(axis=1)
+
+    # -- batched RRT-Connect ---------------------------------------------
 
     def plan(self, start, goal, max_iters: int = 2000,
-             dense_output: bool = True) -> Optional[np.ndarray]:
-        """Returns a path [N, dof] or None. Output is densified like the
-        reference's interpolated OMPL path (motion_planner.py:95-104)."""
+             dense_output: bool = True, batch: int = 32
+             ) -> Optional[np.ndarray]:
+        """Returns a path [N, dof] or None.
+
+        Grows both trees ``batch`` samples at a time: per round, K random
+        targets are steered from their nearest nodes and ALL K candidate
+        motions (plus K cross-tree connection attempts) are validated in
+        two device calls. Output is densified like the reference's
+        interpolated OMPL path (motion_planner.py:95-104).
+        """
         start = np.asarray(start, np.float64)
         goal = np.asarray(goal, np.float64)
         self.cnt_check = 0
         trees = [{'nodes': [start], 'parent': [-1]},
                  {'nodes': [goal], 'parent': [-1]}]
 
-        def extend(tree, q_target):
-            nodes = np.asarray(tree['nodes'])
-            ni = self._nearest(nodes, q_target)
-            q_new = self._steer(nodes[ni], q_target)
-            if self._motion_valid(nodes[ni], q_new):
-                tree['nodes'].append(q_new)
-                tree['parent'].append(ni)
-                return q_new
-            return None
-
-        def connect(tree, q_target):
-            q = extend(tree, q_target)
-            while q is not None:
-                if np.linalg.norm(q - q_target) < 1e-9:
-                    return True
-                q_prev = q
-                q = extend(tree, q_target)
-                if q is not None and np.allclose(q, q_prev):
-                    return False
-            return False
-
         a, b = 0, 1
-        for _ in range(max_iters):
-            q_rand = self._sample()
-            q_new = extend(trees[a], q_rand)
-            if q_new is not None and connect(trees[b], q_new):
-                path_a = self._trace(trees[a], len(trees[a]['nodes']) - 1)
-                bi = self._nearest(np.asarray(trees[b]['nodes']), q_new)
-                path_b = self._trace(trees[b], bi)
+        rounds = max(1, max_iters // batch)
+        for _ in range(rounds):
+            # --- batched extension of tree a --------------------------------
+            targets = np.stack([self._sample() for _ in range(batch)])
+            nodes_a = np.asarray(trees[a]['nodes'])
+            d2 = ((nodes_a[None, :, :] - targets[:, None, :]) ** 2).sum(-1)
+            ni = d2.argmin(axis=1)                      # [K]
+            anchors = nodes_a[ni]
+            delta = targets - anchors
+            dist = np.linalg.norm(delta, axis=1, keepdims=True)
+            scale = np.minimum(1.0, self.step_size / np.maximum(dist, 1e-12))
+            q_new = anchors + delta * scale
+            valid = self._motions_valid_batch(anchors, q_new)
+            added_idx = []
+            for k in np.where(valid)[0]:
+                trees[a]['nodes'].append(q_new[k])
+                trees[a]['parent'].append(int(ni[k]))
+                added_idx.append(len(trees[a]['nodes']) - 1)
+            if not added_idx:
+                a, b = b, a
+                continue
+
+            # --- batched cross-tree connection attempts ---------------------
+            new_nodes = np.asarray([trees[a]['nodes'][i]
+                                    for i in added_idx])
+            nodes_b = np.asarray(trees[b]['nodes'])
+            d2b = ((nodes_b[None, :, :]
+                    - new_nodes[:, None, :]) ** 2).sum(-1)
+            bi = d2b.argmin(axis=1)
+            # densify the full connection segment proportionally to length
+            seg_len = np.sqrt(d2b[np.arange(len(bi)), bi])
+            max_len = float(seg_len.max())
+            n_check = max(self.check_resolution,
+                          int(np.ceil(max_len / self.step_size))
+                          * self.check_resolution)
+            ts = np.linspace(0.0, 1.0, n_check)
+            pts = new_nodes[:, None, :] + ts[None, :, None] * (
+                nodes_b[bi] - new_nodes)[:, None, :]
+            flat = pts.reshape(-1, new_nodes.shape[1])
+            self.cnt_check += len(flat)
+            hits = np.asarray(self.collision_fn(
+                jnp.asarray(flat, jnp.float32))).reshape(len(new_nodes), -1)
+            connected = ~hits.any(axis=1)
+            if connected.any():
+                k = int(np.where(connected)[0][0])
+                path_a = self._trace(trees[a], added_idx[k])
+                path_b = self._trace(trees[b], int(bi[k]))
                 if a == 0:
                     path = path_a[::-1] + path_b
                 else:

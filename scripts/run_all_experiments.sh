@@ -1,0 +1,36 @@
+#!/bin/bash
+# Reproduce every recorded benchmark (runs serially; the TPU is
+# single-tenant). Results land in benchmarks/.
+set -e
+cd "$(dirname "$0")/.."
+
+python bench.py | tee benchmarks/bench_headline.json
+
+python scripts/test_correlation.py --num-train 6000 --num-test 2000 \
+    --output benchmarks/correlation_1rect_1circle.json
+python scripts/test_correlation.py --env 3circle --num-train 6000 \
+    --num-test 2000 --fit-target dist \
+    --output benchmarks/correlation_3circle_dist.json
+
+python scripts/speed_compare.py --envs 1rect_1circle 3circle \
+    --methods adamdiffco aldiffco bidiffco gtdist \
+    --num-train 6000 --num-problems 3 --trials 5 \
+    --output benchmarks/speed_compare.json --no-resume
+
+python scripts/baxter_trajopt_benchmark.py --num-samples 8000 \
+    --output benchmarks/baxter_trajopt.json
+
+python scripts/trajopt_se2.py --num-samples 5000 \
+    --output benchmarks/se2_trajopt.json
+python scripts/trajopt_se3.py --num-samples 5000 \
+    --output benchmarks/se3_trajopt.json
+
+python scripts/temporal_1d.py
+python scripts/escape_2d.py
+python scripts/active_2d.py --timesteps 6 \
+    --output benchmarks/active_2d.json
+python scripts/line_query_eval.py --num-train 4000
+
+python scripts/trajopt_2d.py --env 7d_narrow --dof 7 --link-length 1.0 \
+    --num-samples 12000 --maxiter 300 --trials 10 --safety-margin -0.5 \
+    --init rrt --output benchmarks/trajopt_7d_narrow.json

@@ -71,27 +71,61 @@ def main():
 
     obs = Obstacles2D.from_obstacle_list(obstacles)
     key = jax.random.PRNGKey(args.seed)
-    q = robot.rand_configs(200, key)
+    q = robot.rand_configs(512, key)
     free = ~np.asarray(planar_robot_collision(robot, obs, q))
     idx = np.where(free)[0]
     start_cfg, target_cfg = q[idx[0]], q[idx[-1]]
+    pair_candidates = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
+                       for i in range(min(5, len(idx) // 2))]
 
     options = {'N_WAYPOINTS': args.waypoints, 'NUM_RE_TRIALS': args.trials,
                'MAXITER': args.maxiter, 'history': False,
                'safety_margin': 0.0, 'max_speed': 2.0, 'seed': args.seed,
                'dense_sub': args.dense_sub}
     if args.init == 'rrt':
+        # random free pairs may live in disconnected C-space components
+        # (e.g. 7d_narrow's wall) — try several pairs and keep the first
+        # the planner can actually connect
         from diffco_tpu.planning import MotionPlanner
         planner = MotionPlanner(
             robot, lambda qq: planar_robot_collision(robot, obs, qq),
             step_size=0.5, seed=args.seed)
-        rrt_path = planner.plan(np.asarray(start_cfg),
-                                np.asarray(target_cfg), max_iters=3000)
+        rrt_path = None
+        for s_cand, t_cand in pair_candidates:
+            rrt_path = planner.plan(np.asarray(s_cand),
+                                    np.asarray(t_cand), max_iters=4000,
+                                    batch=64)
+            if rrt_path is not None:
+                start_cfg, target_cfg = s_cand, t_cand
+                break
+        if rrt_path is None:
+            # random free pairs in narrow envs are usually in disconnected
+            # C-space components; build a connected pair by a validated
+            # random walk in free space (what the reference implicitly
+            # guarantees by pre-generating OMPL-feasible test configs)
+            print('no random pair connects; building a connected pair by '
+                  'free-space random walk')
+            rng = np.random.RandomState(args.seed)
+            cur = np.asarray(start_cfg, np.float64)
+            walk = [cur]
+            while len(walk) < 60:
+                step = rng.randn(args.dof) * 0.25
+                nxt = np.clip(cur + step, np.asarray(robot.limits)[:, 0],
+                              np.asarray(robot.limits)[:, 1])
+                ts = np.linspace(0, 1, 8)[:, None]
+                seg = cur[None] + ts * (nxt - cur)[None]
+                if not np.asarray(planar_robot_collision(
+                        robot, obs, jnp.asarray(seg, jnp.float32))).any():
+                    walk.append(nxt)
+                    cur = nxt
+            target_cfg = jnp.asarray(walk[-1], jnp.float32)
+            rrt_path = planner.plan(np.asarray(start_cfg),
+                                    np.asarray(target_cfg),
+                                    max_iters=4000, batch=64)
         if rrt_path is not None:
-            # resample to N_WAYPOINTS
-            idx = np.linspace(0, len(rrt_path) - 1,
-                              args.waypoints).astype(int)
-            options['init_solution'] = jnp.asarray(rrt_path[idx],
+            ridx = np.linspace(0, len(rrt_path) - 1,
+                               args.waypoints).astype(int)
+            options['init_solution'] = jnp.asarray(rrt_path[ridx],
                                                    jnp.float32)
             print(f'RRT init: {len(rrt_path)} states, '
                   f'{planner.cnt_check} checks')
