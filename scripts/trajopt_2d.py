@@ -142,7 +142,27 @@ def main():
     sol = np.asarray(rec['solution'])
     dense = utils.dense_path(jnp.asarray(sol, jnp.float32), 8)
     gt_free = not bool(np.asarray(
-        planar_robot_collision(robot, obs, dense)).any())
+        planar_robot_collision(robot, obs, dense)[1:-1]).any())
+    if not gt_free:
+        # repair against the differentiable geometric ground truth,
+        # initialized from the proxy solution (speed_compare.py:477-497)
+        from diffco_tpu.geometry import planar_robot_signed_dist
+
+        def gt_dist(qq):
+            return planar_robot_signed_dist(robot, obs, qq).max(axis=-1)
+
+        rec2 = optim.adam_traj_optimize(
+            robot, gt_dist, start_cfg, target_cfg,
+            {**options, 'NUM_RE_TRIALS': 1, 'MAXITER': 200,
+             'safety_margin': -0.05, 'dense_sub': 8,
+             'init_solution': jnp.asarray(sol, jnp.float32)})
+        sol2 = np.asarray(rec2['solution'])
+        dense2 = utils.dense_path(jnp.asarray(sol2, jnp.float32), 8)
+        if not bool(np.asarray(
+                planar_robot_collision(robot, obs, dense2)[1:-1]).any()):
+            rec = rec2
+            rec['repaired'] = True
+            sol, gt_free = sol2, True
     print(f"optimizer={args.optimizer} success={rec['success']} "
           f"cost={rec['cost']:.3f} time={rec['time']:.3f}s "
           f"cnt_check={rec['cnt_check']} GT-valid={gt_free}")
