@@ -110,3 +110,30 @@ def test_multi_urdf_robot(key):
     assert labels.shape == (64,)
     fk_list = multi.compute_forward_kinematics_all_links(q)
     assert len(fk_list) == 2
+
+
+@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
+def test_multi_urdf_fkdiffco_fit(key):
+    """Dual-robot FK-DiffCo fit (ref test_fkine_diffco.py:192-232):
+    two 2-link robots with offset bases, inter-robot collision included."""
+    r1 = dc.TwoLinkRobot(setup_acm=False)
+    base2 = np.eye(4)
+    base2[0, 3] = 1.6  # close enough that the arms can reach each other
+    r2 = dc.URDFRobot(
+        os.path.join(dc.robot_description_folder, '2link_robot.urdf'),
+        base_transform=base2, setup_acm=False)
+    multi = dc.MultiURDFRobot([r1, r2])
+    T = np.eye(4)
+    T[:3, 3] = [0.8, 0.9, 0.15]
+    env = dc.ShapeEnv(shapes={
+        'post': {'type': 'Cylinder', 'params': {'radius': 0.3,
+                                                'height': 1.0},
+                 'transform': T}})
+    rate = float(jnp.mean(multi.collision(
+        multi.rand_configs(500, key), other=env)))
+    assert 0.02 < rate < 0.98  # nontrivial labels
+    fkdc = dc.ForwardKinematicsDiffCo(robot=multi, environment=env)
+    acc, tpr, tnr = fkdc.fit(num_samples=2000)
+    assert tpr >= 0.85
+    scores = fkdc.collision_score(multi.rand_configs(32, key))
+    assert np.all(np.isfinite(np.asarray(scores)))
