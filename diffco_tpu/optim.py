@@ -60,18 +60,25 @@ def _loss_terms(p, robot_fkine, dist_est, limits, safety_margin, max_speed):
 @functools.partial(
     jax.jit,
     static_argnames=('robot_fkine', 'dist_est', 'n_waypoints', 'num_trials',
-                     'maxiter', 'lr', 'history', 'dense_sub'))
+                     'maxiter', 'lr', 'history', 'dense_sub',
+                     'trial_sharding'))
 def _adam_traj_core(start_cfg, target_cfg, limits, init_first, key,
                     robot_fkine: Callable, dist_est: Callable,
                     n_waypoints: int, num_trials: int, maxiter: int,
                     lr: float, safety_margin, max_speed: float,
-                    history: bool = False, dense_sub: int = 1):
+                    history: bool = False, dense_sub: int = 1,
+                    trial_sharding=None):
     """All restarts in parallel (vmap), all steps in one scan.
 
     Weights and convergence thresholds match the reference
     (optim.py:19-23, :113, :126): dif 1, collision/max_move/joint_limit 10,
     valid iff constraint <= 1e-2, converged additionally needs
     ||grad|| < 1e-4.
+
+    ``trial_sharding`` (a NamedSharding, hashable hence static) shards the
+    restart axis over a device mesh: each device runs its own restarts of
+    the same compiled program, selection reduces across the mesh
+    (parallel.sharding.distributed_trajopt).
     """
     dof = start_cfg.shape[-1]
     collision_w, max_move_w, joint_limit_w, dif_w = 10.0, 10.0, 10.0, 1.0
@@ -108,6 +115,8 @@ def _adam_traj_core(start_cfg, target_cfg, limits, init_first, key,
     inits = rand.at[0].set(init_first)
     inits = inits.at[:, 0].set(start_cfg)
     inits = inits.at[:, -1].set(target_cfg)
+    if trial_sharding is not None:
+        inits = lax.with_sharding_constraint(inits, trial_sharding)
 
     endpoint_mask = jnp.ones((n_waypoints, 1), start_cfg.dtype)
     endpoint_mask = endpoint_mask.at[0].set(0.0).at[-1].set(0.0)

@@ -131,80 +131,103 @@ def sharded_gram(kernel_fn: Callable, X_transformed, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
-# composed distributed steps (used by __graft_entry__.dryrun_multichip and
-# multi-chip benchmarks)
+# composed distributed steps (used by __graft_entry__.dryrun_multichip,
+# tests/test_parallel.py and multi-chip benchmarks). These wrap the REAL
+# single-device programs — perceptron.perceptron_train_loop (greedy loop
+# with the removal step and convergence) and optim._adam_traj_core (the
+# full multi-restart Adam trajopt) — under GSPMD shardings, so multi-chip
+# execution is the same XLA program as single-chip, just partitioned.
 
 
-def distributed_fit_step(kernel_fn, X_transformed, y, mesh: Mesh,
-                         n_iters: int = 32, beta: float = 1.0):
-    """One jitted, sharded proxy-fit step: row-sharded Gram construction +
-    a fixed number of perceptron iterations + the masked RBF solve.
+def distributed_fit(kernel_fn, X_transformed, y, mesh: Mesh,
+                    beta: float = 1.0, max_iteration: int = 1000,
+                    rbf_kernel_fn=None, init_gains=None, axis: str = 'dp'):
+    """Distributed proxy fit: row-sharded Gram + the real greedy trainer.
 
-    The greedy loop's argmin/gather/scatter run under GSPMD over the
-    sharded Gram matrix; XLA inserts the collectives.
+    Runs ``perceptron.perceptron_train_loop`` (min-margin updates, the
+    support-removal step, and early convergence — ref
+    kernel_perceptrons.py:114-133) on a Gram matrix whose rows are sharded
+    over ``axis``, then the masked RBF surrogate solve (``fit_poly``
+    semantics, ref :271-287) on the resulting support set. XLA/GSPMD
+    inserts the collectives for the argmin/gather/scatter steps.
+
+    ``init_gains`` ([N] aligned with X rows) warm-starts active-learning
+    updates: hypothesis is seeded as K @ init_gains exactly like
+    DiffCo.train(update=True).
+
+    Returns (gains [N], hypothesis [N], rbf_nodes [N], iterations).
     """
-    n_dev = mesh.shape['dp']
+    from ..perceptron import perceptron_train_loop, masked_rbf_solve
+
+    n_dev = mesh.shape[axis]
     Xp, N = _pad_to_multiple(jnp.asarray(X_transformed), n_dev)
     yp, _ = _pad_to_multiple(jnp.asarray(y).reshape(-1), n_dev)
-    Xs = shard_batch(Xp, mesh)
+    valid = jnp.arange(Xp.shape[0]) < N
+    Xs = shard_batch(Xp, mesh, axis)
+    Xr = replicate(Xp, mesh)
     yr = replicate(yp, mesh)
+    vr = replicate(valid, mesh)
 
-    @jax.jit
-    def step(Xs, yv):
-        K = kernel_fn(Xs, Xs)
-        target = jnp.where(yv > 0, beta, -1.0)
-        diagK = jnp.diag(K)
+    # row-sharded Gram: each device computes its row block vs replicated X
+    K = jax.jit(kernel_fn)(Xs, Xr)
 
-        def body(carry, _):
-            gains, hyp = carry
-            margin = jnp.where(yv != 0, yv * hyp, jnp.inf)
-            min_i = jnp.argmin(margin)
-            take = margin[min_i] <= 0
-            delta = jnp.where(
-                take, (target[min_i] - hyp[min_i]) / diagK[min_i], 0.0)
-            gains = gains.at[min_i].add(delta)
-            hyp = hyp + delta * K[min_i]
-            return (gains, hyp), None
+    ig = ih = None
+    if init_gains is not None:
+        igp, _ = _pad_to_multiple(jnp.asarray(init_gains).reshape(-1), n_dev)
+        ig = replicate(igp, mesh)
+        ih = jax.jit(lambda k, g: jnp.matmul(
+            k, g, precision='highest'))(K, ig)
 
-        init = (jnp.zeros_like(yv), jnp.zeros_like(yv))
-        (gains, hyp), _ = jax.lax.scan(body, init, None, length=n_iters)
-        # masked RBF solve on the resulting weights
-        m = (gains != 0).astype(K.dtype)
-        A = K * m[:, None] * m[None, :] + jnp.diag(1.0 - m) \
-            + 1e-4 * jnp.eye(K.shape[0], dtype=K.dtype)
-        nodes = jnp.linalg.solve(A, yv * m)
-        return gains, hyp, nodes
+    gains, hyp, it = perceptron_train_loop(
+        K, yr, beta, int(max_iteration),
+        init_gains=ig, init_hypothesis=ih, valid_mask=vr)
 
-    return step(Xs, yr)
+    # smooth-surrogate solve over the found supports (fit_poly, label target)
+    rbf_fn = kernel_fn if rbf_kernel_fn is None else rbf_kernel_fn
+    Krbf = K if rbf_kernel_fn is None else jax.jit(rbf_fn)(Xs, Xr)
+    support_mask = jnp.logical_and(gains != 0, vr)
+    nodes = jax.jit(masked_rbf_solve)(Krbf, yr, support_mask)
+    return gains[:N], hyp[:N], nodes[:N], it
 
 
-def distributed_trajopt_step(robot_fkine, score_fn, inits, limits, mesh: Mesh,
-                             lr: float = 0.5, safety_margin: float = 0.0,
-                             max_speed: float = 1.5):
-    """One Adam trajopt step vmapped over restarts, restarts sharded over
-    the 'dp' mesh axis (each device optimizes its own restarts)."""
-    import optax
-    inits = shard_batch(jnp.asarray(inits), mesh)
-    limits = replicate(jnp.asarray(limits), mesh)
+def distributed_trajopt(robot_fkine, score_fn, start_cfg, target_cfg,
+                        limits, mesh: Mesh, n_waypoints: int = 12,
+                        num_trials: Optional[int] = None, maxiter: int = 50,
+                        lr: float = 0.5, safety_margin: float = 0.0,
+                        max_speed: float = 1.5, dense_sub: int = 1,
+                        seed: int = 0, axis: str = 'dp'):
+    """The real multi-restart Adam trajopt (optim._adam_traj_core: scan
+    over iterations, vmap over restarts, endpoint-frozen gradients,
+    best-valid bookkeeping) with the restart axis sharded over ``axis`` —
+    each device optimizes its own restarts, selection reduces across the
+    mesh. Returns the reference-style (solution, cost, success) triple.
+    """
+    from ..optim import _adam_traj_core
 
-    @jax.jit
-    def step(paths, limits):
-        def loss(p):
-            scores = score_fn(p)
-            collision = jnp.sum(jnp.maximum(scores - safety_margin, 0.0))
-            cp = robot_fkine(p)
-            seg = cp[1:] - cp[:-1]
-            max_move = jnp.sum(jnp.maximum(
-                jnp.sum(seg ** 2, axis=2) - max_speed ** 2, 0.0))
-            jl = jnp.sum(jnp.maximum(limits[:, 0] - p, 0.0)
-                         + jnp.maximum(p - limits[:, 1], 0.0))
-            return jnp.sum(seg ** 2) + 10.0 * (collision + max_move + jl)
+    n_dev = mesh.shape[axis]
+    if num_trials is None:
+        num_trials = max(n_dev, 8)
+    assert num_trials % n_dev == 0, (
+        f'num_trials {num_trials} must divide over {n_dev} devices')
+    trial_sharding = NamedSharding(mesh, P(axis))
 
-        def one(p):
-            g = jax.grad(loss)(p)
-            g = g.at[0].set(0.0).at[-1].set(0.0)
-            return p - lr * g  # single SGD step stands in for Adam here
+    start_cfg = replicate(jnp.asarray(start_cfg, jnp.float32), mesh)
+    target_cfg = replicate(jnp.asarray(target_cfg, jnp.float32), mesh)
+    limits = replicate(jnp.asarray(limits, jnp.float32), mesh)
+    init_first = replicate(
+        jnp.full((n_waypoints, start_cfg.shape[-1]), jnp.nan, jnp.float32),
+        mesh)
+    key = replicate(jax.random.PRNGKey(seed), mesh)
 
-        return jax.vmap(one)(paths)
+    solution, cost, success, _, _ = _adam_traj_core(
+        start_cfg, target_cfg, limits, init_first, key,
+        robot_fkine, score_fn, int(n_waypoints), int(num_trials),
+        int(maxiter), float(lr), jnp.asarray(safety_margin, jnp.float32),
+        float(max_speed), dense_sub=int(dense_sub),
+        trial_sharding=trial_sharding)
+    return solution, cost, success
 
-    return step(inits, limits)
+
+# Backwards-compatible aliases (round-1 names).
+distributed_fit_step = distributed_fit
+distributed_trajopt_step = distributed_trajopt

@@ -52,7 +52,8 @@ from .kernels import KernelFunc, RQKernel, Polyharmonic
 def perceptron_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
                           max_iteration: int,
                           init_gains: Optional[jnp.ndarray] = None,
-                          init_hypothesis: Optional[jnp.ndarray] = None):
+                          init_hypothesis: Optional[jnp.ndarray] = None,
+                          valid_mask: Optional[jnp.ndarray] = None):
     """Greedy kernel-perceptron training (ref kernel_perceptrons.py:114-133).
 
     One while_loop iteration performs either a min-margin gain update or a
@@ -62,6 +63,10 @@ def perceptron_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
         delta = gain correction  if margin <= 0 else -gains[idx]
         gains[idx] += delta;  hypothesis += delta * K[idx]
 
+    ``valid_mask`` (optional, bool [N]) marks real rows; padded rows are
+    never selected for update or removal. Padding keeps shapes
+    device-divisible when K is row-sharded over a mesh (parallel/sharding).
+
     Returns (gains, hypothesis, iterations).
     """
     N = y.shape[0]
@@ -70,6 +75,8 @@ def perceptron_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
     # target = beta^((1+y)/2) * y: beta for y=+1, -1 for y=-1 (ref :121)
     target = jnp.where(y > 0, jnp.asarray(beta, K.dtype),
                        jnp.asarray(-1.0, K.dtype))
+    valid = (jnp.ones(N, bool) if valid_mask is None
+             else valid_mask.reshape(-1))
 
     def cond(state):
         _, _, it, done = state
@@ -77,13 +84,13 @@ def perceptron_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
 
     def body(state):
         gains, hyp, it, _ = state
-        margin = y * hyp
+        margin = jnp.where(valid, y * hyp, jnp.inf)
         min_i = jnp.argmin(margin)
         take_update = margin[min_i] <= 0
         delta_update = (target[min_i] - hyp[min_i]) / diagK[min_i]
 
         # removal step: support whose removal *increases* its own margin
-        modified = y * (hyp - gains * diagK) * (gains != 0)
+        modified = y * (hyp - gains * diagK) * (gains != 0) * valid
         max_i = jnp.argmax(modified)
         removable = jnp.logical_and(modified[max_i] > 0,
                                     jnp.sum(gains != 0) > 1)

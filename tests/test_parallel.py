@@ -1,4 +1,10 @@
-"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The distributed steps wrap the REAL single-device programs
+(perceptron.perceptron_train_loop, optim._adam_traj_core) under GSPMD, so
+the key assertions here are *numerical parity* between the sharded and
+unsharded executions of the same program.
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -6,9 +12,11 @@ import pytest
 
 from diffco_tpu.parallel import (
     make_mesh, sharded_score_sweep, support_parallel_score_fn,
-    sharded_gram, distributed_fit_step, distributed_trajopt_step,
+    sharded_gram, distributed_fit, distributed_trajopt,
 )
 from diffco_tpu import kernels
+from diffco_tpu.perceptron import perceptron_train_loop, masked_rbf_solve
+from diffco_tpu.optim import _adam_traj_core
 from diffco_tpu.robots import RevolutePlanarRobot
 from diffco_tpu.geometry import Obstacles2D, planar_robot_signed_dist
 from diffco_tpu.ops.fused_score import _poly_score_xla
@@ -55,19 +63,71 @@ def test_sharded_gram(mesh, key):
     assert np.allclose(np.asarray(K), np.asarray(Kref), atol=1e-4)
 
 
-def test_distributed_fit_step(mesh, key):
+def test_distributed_fit_matches_single_device(mesh, key):
+    """The sharded fit is the same XLA program as the single-device greedy
+    trainer — gains, hypothesis, iteration count and RBF nodes must agree
+    to float tolerance."""
     X = jax.random.normal(key, (64, 4))
     y = jnp.sign(X[:, 0])
     kern = kernels.RQKernel(5.0)
-    gains, hyp, nodes = distributed_fit_step(kern, X, y, mesh, n_iters=64)
+
+    gains, hyp, nodes, it = distributed_fit(
+        kern, X, y, mesh, max_iteration=500)
+
+    K = kern(X, X)
+    g_ref, h_ref, it_ref = perceptron_train_loop(K, y, 1.0, 500)
+    n_ref = masked_rbf_solve(K, y, g_ref != 0)
+
+    assert int(it) == int(it_ref)
+    assert np.allclose(np.asarray(gains), np.asarray(g_ref), atol=1e-4)
+    assert np.allclose(np.asarray(hyp), np.asarray(h_ref), atol=1e-4)
+    assert np.allclose(np.asarray(nodes), np.asarray(n_ref), atol=1e-3)
     acc = float(jnp.mean((hyp > 0) == (y > 0)))
     assert acc > 0.8
-    assert np.all(np.isfinite(np.asarray(nodes)))
 
 
-def test_distributed_trajopt_step(mesh, key):
+def test_distributed_fit_padding_inert(mesh, key):
+    """N not divisible by the mesh axis: padded rows must never become
+    supports and results must match the unpadded single-device run."""
+    X = jax.random.normal(key, (61, 4))   # 61 % 4 != 0 -> pads to 64
+    y = jnp.sign(X[:, 0])
+    kern = kernels.RQKernel(5.0)
+    gains, hyp, nodes, it = distributed_fit(
+        kern, X, y, mesh, max_iteration=500)
+    K = kern(X, X)
+    g_ref, h_ref, it_ref = perceptron_train_loop(K, y, 1.0, 500)
+    assert gains.shape == (61,)
+    assert int(it) == int(it_ref)
+    assert np.allclose(np.asarray(gains), np.asarray(g_ref), atol=1e-4)
+
+
+def test_distributed_fit_warm_start_update(mesh, key):
+    """Active-learning update path: fit, extend the dataset, warm-start
+    refit. The warm start must converge in fewer iterations than a cold
+    fit of the extended set and keep training accuracy."""
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (64, 4))
+    y = jnp.sign(X[:, 0])
+    kern = kernels.RQKernel(5.0)
+    gains, _, _, _ = distributed_fit(kern, X, y, mesh, max_iteration=500)
+
+    X2 = jnp.concatenate([X, jax.random.normal(k2, (32, 4))], axis=0)
+    y2 = jnp.sign(X2[:, 0])
+    prev = jnp.concatenate([gains, jnp.zeros(32, gains.dtype)])
+    g_warm, h_warm, _, it_warm = distributed_fit(
+        kern, X2, y2, mesh, max_iteration=500, init_gains=prev)
+    _, _, _, it_cold = distributed_fit(
+        kern, X2, y2, mesh, max_iteration=500)
+    acc = float(jnp.mean((h_warm > 0) == (y2 > 0)))
+    assert acc > 0.8
+    assert int(it_warm) <= int(it_cold)
+
+
+def test_distributed_trajopt_matches_single_device(mesh, key):
+    """Restart-sharded _adam_traj_core == unsharded _adam_traj_core:
+    same program, different partitioning."""
     robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key)
     supports = jax.random.normal(k1, (64, 4))
     weights = jax.random.normal(k2, (64,)) * 0.01
 
@@ -75,12 +135,57 @@ def test_distributed_trajopt_step(mesh, key):
         pts = robot.fkine(p).reshape(p.shape[0], -1)
         return _poly_score_xla(pts, supports, weights).reshape(-1)
 
-    inits = jax.random.uniform(k3, (8, 10, 2), minval=-1, maxval=1)
-    out = distributed_trajopt_step(robot.fkine, score_fn, inits,
-                                   robot.limits, mesh)
-    out = np.asarray(out)
-    assert out.shape == (8, 10, 2)
-    # endpoints unchanged
-    assert np.allclose(out[:, 0], np.asarray(inits)[:, 0], atol=1e-6)
-    assert np.allclose(out[:, -1], np.asarray(inits)[:, -1], atol=1e-6)
-    assert np.all(np.isfinite(out))
+    start = jnp.asarray([-1.0, 0.5])
+    target = jnp.asarray([1.0, -0.5])
+    limits = jnp.asarray(robot.limits, jnp.float32)
+    n_way, trials, iters = 10, 8, 30
+
+    sol, cost, success = distributed_trajopt(
+        robot.fkine, score_fn, start, target, limits, mesh,
+        n_waypoints=n_way, num_trials=trials, maxiter=iters, seed=0)
+
+    init_first = jnp.full((n_way, 2), jnp.nan, jnp.float32)
+    sol_ref, cost_ref, success_ref, _, _ = _adam_traj_core(
+        start, target, limits, init_first, jax.random.PRNGKey(0),
+        robot.fkine, score_fn, n_way, trials, iters, 0.5,
+        jnp.asarray(0.0, jnp.float32), 1.5)
+
+    assert bool(success) == bool(success_ref)
+    assert np.allclose(float(cost), float(cost_ref), rtol=1e-3, atol=1e-4)
+    assert np.allclose(np.asarray(sol), np.asarray(sol_ref),
+                       rtol=1e-3, atol=1e-4)
+    # endpoints pinned
+    assert np.allclose(np.asarray(sol)[0], np.asarray(start), atol=1e-6)
+    assert np.allclose(np.asarray(sol)[-1], np.asarray(target), atol=1e-6)
+
+
+def test_distributed_e2e_fit_update_trajopt(mesh, key):
+    """End-to-end on the mesh: label -> fit -> update -> trajopt using the
+    fitted proxy, mirroring the single-device pipeline."""
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([('circle', (1.5, 1.0), 0.6)])
+
+    def gt(qq):
+        return planar_robot_signed_dist(robot, obs, qq).max(axis=-1)
+
+    q = robot.rand_configs(256, jax.random.PRNGKey(0))
+    labels = (sharded_score_sweep(gt, q, mesh) > 0) * 2.0 - 1.0
+    kern = kernels.RQKernel(10.0)
+    gains, hyp, nodes, _ = distributed_fit(
+        kern, q, labels, mesh, max_iteration=1000)
+    acc = float(jnp.mean((hyp > 0) == (labels > 0)))
+    assert acc > 0.9
+
+    # proxy score from the distributed fit state
+    def score_fn(p):
+        kv = kern(p, q)
+        return jnp.matmul(kv, nodes, precision='highest').reshape(-1)
+
+    start = jnp.asarray([-2.0, 0.0])
+    target = jnp.asarray([2.0, 0.0])
+    sol, cost, success = distributed_trajopt(
+        robot.fkine, score_fn, start, target,
+        jnp.asarray(robot.limits, jnp.float32), mesh,
+        n_waypoints=10, num_trials=8, maxiter=100)
+    assert np.all(np.isfinite(np.asarray(sol)))
+    assert float(cost) >= 0.0
