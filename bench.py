@@ -25,15 +25,17 @@ def _jax_throughput(batch=65536, n_supports=512, n_inner=50, reps=4):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_score_setup
-    from diffco_tpu.ops.fused_score import _poly_score_xla
+    from diffco_tpu.ops.fused_score import polyharmonic_score
 
     robot, sup, w = _flagship_score_setup(n_supports=n_supports)
 
     @jax.jit
     def loop(q):
         def total(qq):
+            # routes through the fused transposed bf16 Pallas kernel on
+            # TPU at this batch size (benchmarks/fused_ab.json)
             pts = robot.fkine(qq, flat=True)
-            return _poly_score_xla(pts, sup, w).sum()
+            return polyharmonic_score(pts, sup, w).sum()
 
         def step(qq, _):
             v, g = jax.value_and_grad(total)(qq)
