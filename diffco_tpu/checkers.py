@@ -86,11 +86,20 @@ class CollisionChecker:
 
     def _generate_dataset(self, q, labels, dists, num_samples,
                           fix_joints=None, fix_joint_values=None,
-                          verbose=False):
+                          sample_transform=None, verbose=False):
         """Random configs + ground-truth labels
-        (ref collision_checkers.py:108-125)."""
+        (ref collision_checkers.py:108-125). ``sample_transform`` draws
+        the configurations uniformly on that transform's manifold via
+        Jacobian-determinant rejection (ref :396-452) instead of uniformly
+        in joint space."""
         if q is None:
-            q = self.robot.rand_configs(num_samples, self._next_key())
+            if sample_transform is not None:
+                from .sampler import uniform_sample_on_transformed_manifold
+                q = uniform_sample_on_transformed_manifold(
+                    self.robot, sample_transform, num_samples,
+                    self._next_key())
+            else:
+                q = self.robot.rand_configs(num_samples, self._next_key())
         q = jnp.asarray(q)
         if fix_joints is not None:
             q = q.at[:, jnp.asarray(fix_joints)].set(
@@ -138,6 +147,7 @@ class RBFDiffCo(CollisionChecker):
         self.labels_verify = None
         self.safety_bias = 0.0
         self.perceptron_trained = False
+        self._score_fn = None
 
     # -- fitting ------------------------------------------------------------
 
@@ -216,6 +226,10 @@ class RBFDiffCo(CollisionChecker):
                      else num_exploit_samples)
         n_explore = (num_samples if num_explore_samples is None
                      else num_explore_samples)
+        # the reference forwards the bool straight into fit(verify_ratio=)
+        # which rejects it (collision_checkers.py:248-252 / :179) — map
+        # verify=True to the default held-out ratio instead
+        verify_ratio = 0.1 if verify is True else float(verify)
         exist_mask = None
         if q is None:
             nv = self.perceptron.num_valid
@@ -250,7 +264,7 @@ class RBFDiffCo(CollisionChecker):
             exist_mask = jnp.zeros(q.shape[0], bool).at[
                 -supports.shape[0]:].set(True)
         return self.fit(q, labels, dists, update=True,
-                        exist_mask=exist_mask, verify_ratio=verify,
+                        exist_mask=exist_mask, verify_ratio=verify_ratio,
                         verbose=verbose)
 
     # -- verification ---------------------------------------------------------
@@ -313,14 +327,29 @@ class RBFDiffCo(CollisionChecker):
         return raw + bias
 
     def score_fn(self, bias=None):
-        """A jit-friendly pure score function q[B, dof] -> [B] closing over
-        the current support state (for trajectory optimizers)."""
+        """A jitted score function q[B, dof] -> [B] for the trajectory
+        optimizers. The compiled program is cached on the checker and takes
+        the support state as *arguments*, so refits reuse the compilation
+        (``fit`` resets the cache only when the kernel/transform may have
+        changed)."""
         bias = self.safety_bias if bias is None else bias
         perceptron = self.perceptron
+        if self._score_fn is None:
+            rbf_kernel = perceptron.rbf_kernel
+            transform = perceptron._apply_transform
 
-        def fn(q):
-            return perceptron.poly_score(q).reshape(-1) + bias
-        return fn
+            @jax.jit
+            def fn(q, sup, nodes, mask, b):
+                pt = transform(q)
+                kv = rbf_kernel(pt, sup) * mask.astype(pt.dtype)[None, :]
+                return jnp.matmul(kv, nodes.reshape(-1, 1),
+                                  precision='highest').reshape(-1) + b
+
+            self._score_fn = fn
+        fn = self._score_fn
+        b = jnp.asarray(bias, jnp.float32)
+        return lambda q: fn(q, perceptron.support_transformed,
+                            perceptron.rbf_nodes, perceptron.valid_mask, b)
 
     def _calculate_safety_bias(self, q_verify):
         """min(|min score|, |max score|) / 3 (ref :497-503)."""
@@ -365,6 +394,15 @@ class ForwardKinematicsDiffCo(RBFDiffCo):
         self.labels_verify = None
         self.safety_bias = 0.0
         self.perceptron_trained = False
+        self._score_fn = None
+
+    def _uniform_sample_on_transformed_manifold(self, transform,
+                                                num_samples):
+        """Configurations uniform w.r.t. the FK-manifold measure
+        (ref collision_checkers.py:396-452)."""
+        from .sampler import uniform_sample_on_transformed_manifold
+        return uniform_sample_on_transformed_manifold(
+            self.robot, transform, num_samples, self._next_key())
 
     def collision_score(self, q=None, bias=None, q_link_pos=None):
         """Score from configurations or directly from link positions

@@ -220,12 +220,15 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     solution = np.asarray(jax.device_get(solution))
     elapsed = time.time() - start_t
 
+    # every trial evaluates the densified interior batch each step (ref
+    # counts per-eval, optim.py:90); with dense_sub > 1 each step checks
+    # (n_waypoints - 1) * dense_sub - 1 points, else the n - 2 interior ones
+    dsub = int(o.get('dense_sub', 1))
+    n_check = ((n_waypoints - 1) * dsub - 1) if dsub > 1 else n_waypoints - 2
     return {
         'start_cfg': np.asarray(start_cfg).tolist(),
         'target_cfg': np.asarray(target_cfg).tolist(),
-        # every trial evaluates the batch each step (ref counts per-eval,
-        # optim.py:90)
-        'cnt_check': int(o['NUM_RE_TRIALS']) * int(o['MAXITER']) * n_waypoints,
+        'cnt_check': int(o['NUM_RE_TRIALS']) * int(o['MAXITER']) * n_check,
         'cost': float(cost),
         'time': elapsed,
         'success': bool(success),
@@ -573,7 +576,132 @@ def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
     }
 
 
-trustconstr_traj_optimize = gradient_free_traj_optimize
+def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
+                              options=None):
+    """Gradient+Hessian trust-constr (ref optim.py:324-516).
+
+    Host-side scipy trust-constr loop with analytic derivatives from JAX:
+    the full per-segment collision-constraint jacobian (``jax.jacrev`` ≙
+    torch.autograd.functional.jacobian, ref :369-378), the
+    multiplier-weighted constraint Hessian (``jax.hessian`` of v·c(p) ≙
+    torch.autograd.functional.hessian, ref :380-391), and the cost/limit
+    gradients. Use ``al_traj_optimize`` for the on-device path; this one
+    exists for method-parity benchmarking (speed_compare methods list).
+    """
+    from scipy.optimize import minimize, NonlinearConstraint
+    o = _default_options(options)
+    n_waypoints = int(o['N_WAYPOINTS'])
+    dof = int(start_cfg.shape[-1])
+    limits = np.asarray(robot.limits if hasattr(robot, 'limits')
+                        else robot.joint_limits, np.float64)
+    margin = float(np.max(np.asarray(o['safety_margin'])))
+    num_sub = int(o.get('num_sub', 4))
+    rng = np.random.RandomState(int(o['seed']))
+    start_np = np.asarray(start_cfg, np.float64)
+    target_np = np.asarray(target_cfg, np.float64)
+    n_dense = (n_waypoints - 1) * num_sub + 1
+
+    def assemble(x):
+        x = jnp.asarray(x, jnp.float32).reshape(-1, dof)
+        s = jnp.asarray(start_np, jnp.float32)[None]
+        t = jnp.asarray(target_np, jnp.float32)[None]
+        return jnp.concatenate([s, x, t], axis=0)
+
+    def con_collision(x):
+        """Per-segment summed clamped violations, >= 0 required
+        (ref con_collision_free :350-367, sign flipped to scipy's
+        c(x) >= 0 convention like the reference)."""
+        p = assemble(x)
+        dense = utils.dense_path(p, num_sub)
+        viol = jnp.maximum(
+            dist_est(dense[1:-1]).reshape(-1) - margin, 0.0)
+        viol = jnp.concatenate([jnp.zeros(1), viol])
+        return -viol.reshape(n_waypoints - 1, num_sub).sum(axis=1)
+
+    def con_jl(x):
+        p = assemble(x)
+        return -jnp.sum(jnp.maximum(limits[:, 0] - p, 0.0)
+                        + jnp.maximum(p - limits[:, 1], 0.0))
+
+    def cost(x):
+        cp = robot.fkine(assemble(x))
+        return jnp.sum((cp[1:] - cp[:-1]) ** 2)
+
+    f_col = jax.jit(con_collision)
+    jac_col = jax.jit(jax.jacrev(con_collision))
+    # constraint Hessian: H(x, v) = d^2/dx^2 [v . c(x)]  (ref :380-391)
+    hess_col = jax.jit(jax.hessian(
+        lambda x, v: jnp.dot(con_collision(x), v)))
+    f_jl = jax.jit(con_jl)
+    grad_jl = jax.jit(jax.grad(con_jl))
+    f_cost = jax.jit(cost)
+    grad_cost = jax.jit(jax.grad(cost))
+
+    n_free = (n_waypoints - 2) * dof
+    cnt_check = 0
+
+    def count_col(x):
+        nonlocal cnt_check
+        cnt_check += n_dense
+        return np.asarray(f_col(x), np.float64)
+
+    start_t = time.time()
+    success = False
+    lowest_const_loss = np.inf
+    solution_rec = None
+    for trial in range(int(o['NUM_RE_TRIALS'])):
+        if trial == 0 and o.get('init_solution') is not None:
+            init_path = np.asarray(o['init_solution'], np.float64)
+        elif trial == 0:
+            init_path = np.linspace(start_np, target_np, n_waypoints)
+        else:
+            init_path = (rng.rand(n_waypoints, dof)
+                         * (limits[:, 1] - limits[:, 0]) + limits[:, 0])
+        init_path[0], init_path[-1] = start_np, target_np
+        res = minimize(
+            lambda x: float(f_cost(x)),
+            init_path[1:-1].reshape(-1),
+            jac=lambda x: np.asarray(grad_cost(x), np.float64).reshape(-1),
+            method='trust-constr',
+            constraints=[
+                NonlinearConstraint(
+                    count_col, 0, np.inf,
+                    jac=lambda x: np.asarray(
+                        jac_col(x), np.float64).reshape(
+                            n_waypoints - 1, n_free),
+                    hess=lambda x, v: np.asarray(
+                        hess_col(jnp.asarray(x, jnp.float32),
+                                 jnp.asarray(v, jnp.float32)),
+                        np.float64).reshape(n_free, n_free)),
+                NonlinearConstraint(
+                    lambda x: float(f_jl(x)), 0, np.inf,
+                    jac=lambda x: np.asarray(
+                        grad_jl(x), np.float64).reshape(1, -1)),
+            ],
+            options={'maxiter': int(o['MAXITER']),
+                     **o['extra_optimizer_options']})
+        if res.success:
+            success = True
+            solution_rec = res
+            break
+        tmp = -(count_col(res.x).sum() + float(f_jl(res.x)))
+        if tmp < lowest_const_loss:
+            lowest_const_loss = tmp
+            solution_rec = res
+    elapsed = time.time() - start_t
+    sol = np.concatenate([start_np[None],
+                          solution_rec.x.reshape(-1, dof),
+                          target_np[None]])
+    return {
+        'start_cfg': start_np.tolist(),
+        'target_cfg': target_np.tolist(),
+        'cnt_check': cnt_check,
+        'cost': float(solution_rec.fun),
+        'time': elapsed,
+        'success': success,
+        'seed': int(o['seed']),
+        'solution': sol.tolist(),
+    }
 
 
 # ---------------------------------------------------------------------------

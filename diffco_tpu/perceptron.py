@@ -287,6 +287,16 @@ class DiffCo(Perceptron):
         del method
         X = jnp.asarray(X)
         y = jnp.asarray(y).reshape(-1)
+        if X.shape[0] > 32768:
+            # the trainer materializes the dense [N, N] Gram (the TPU-side
+            # win over the reference's lazy rows); past ~32k rows that is
+            # > 4 GB and the right tool is the mesh-sharded trainer
+            raise ValueError(
+                f'training set of {X.shape[0]} rows would materialize a '
+                f'{X.shape[0]}x{X.shape[0]} Gram matrix '
+                f'(~{X.shape[0] ** 2 * 4 / 1e9:.1f} GB). Subsample, or use '
+                f'diffco_tpu.parallel.distributed_fit to row-shard the '
+                f'Gram over a device mesh.')
         Xt = self._apply_transform(X)
         K = self.kernel_func(Xt, Xt)
 
@@ -334,6 +344,13 @@ class DiffCo(Perceptron):
         self.valid_mask = valid
         self.num_valid = int(num_valid)
         self.rbf_nodes = jnp.zeros(S, K.dtype)
+        if count > S:
+            # more nonzero gains than slots: the top-S truncation breaks
+            # the hypothesis == K @ gains invariant the warm-start update
+            # path relies on (ref asserts it, kernel_perceptrons.py:196) —
+            # recompute it over the kept supports
+            self.hypothesis = jnp.matmul(self.kernel_matrix, self.gains,
+                                         precision='highest')
 
     # -- smooth surrogate ---------------------------------------------------
 
@@ -355,7 +372,10 @@ class DiffCo(Perceptron):
         self.rbf_nodes = masked_rbf_solve(kmat, yv, self.valid_mask, reg=reg)
 
     def fit_full_poly(self, epsilon=1, k=2, lmbd=0, target='hypo'):
-        """Polyharmonic + linear-tail interpolation (ref :321-341).
+        """Polyharmonic + linear-tail interpolation (ref :321-341; the
+        multi-class variant :694-717 is the same system with a
+        multi-column RHS — handled here generically, so MultiDiffCo
+        inherits per-class full-poly fits).
 
         Solves [[Phi, X, 1], [X^T, 0, 0], [1^T, 0, 0]] nodes = [y, 0, 0]
         over the valid supports.
@@ -382,7 +402,12 @@ class DiffCo(Perceptron):
             yv = self.distance
         else:
             yv = self.y
-        b = jnp.concatenate([yv * m, jnp.zeros(F + 1, X.dtype)])
+        if yv.ndim == 1:
+            b = jnp.concatenate([yv * m, jnp.zeros(F + 1, X.dtype)])
+        else:  # [S, C] multi-class targets (ref :711-717)
+            b = jnp.concatenate(
+                [yv * m[:, None],
+                 jnp.zeros((F + 1, yv.shape[1]), X.dtype)], axis=0)
         self.poly_nodes = jnp.linalg.solve(L, b)
 
     # -- inference ----------------------------------------------------------
@@ -401,14 +426,17 @@ class DiffCo(Perceptron):
                           precision='highest')
 
     def full_poly_score(self, point):
+        """[B, 1] for DiffCo; [B, C] for MultiDiffCo (ref :343-354 /
+        :712-730)."""
         point = jnp.atleast_2d(jnp.asarray(point))
         pt = self._apply_transform(point)
         m = self.valid_mask.astype(pt.dtype)
         phi = self.poly_kernel(pt, self.support_transformed) * m[None, :]
         phi_x = jnp.concatenate(
             [phi, pt, jnp.ones((pt.shape[0], 1), pt.dtype)], axis=1)
-        return jnp.matmul(phi_x, self.poly_nodes.reshape(-1, 1),
-                          precision='highest')
+        nodes = (self.poly_nodes.reshape(-1, 1)
+                 if self.poly_nodes.ndim == 1 else self.poly_nodes)
+        return jnp.matmul(phi_x, nodes, precision='highest')
 
     def score_original(self, point):
         """Raw perceptron score k(phi(q), supports) @ gains (ref :362-370)."""
@@ -443,6 +471,11 @@ class DiffCoBeta(DiffCo):
         [supports + X[-n:]]."""
         X = jnp.asarray(X)
         d = jnp.asarray(d).reshape(-1)
+        # clamp so small datasets keep at least 2 perceptron training rows
+        n_left_out_points = int(min(n_left_out_points, max(len(X) - 2, 0)))
+        if n_left_out_points == 0:
+            raise ValueError(
+                f'DiffCoBeta.train needs > 2 samples, got {len(X)}')
         X_head, d_head = X[:-n_left_out_points], d[:-n_left_out_points]
         labels = (d_head >= 0) * 2.0 - 1.0
         super().train(X_head, labels, max_iteration=max_iteration,
@@ -686,13 +719,36 @@ class MultiDimDiffCo(Perceptron):
 
     def train(self, X, y, update=False, exist_mask=None, max_iteration=1000,
               method='original', distance=None, verbose=False):
-        del method, update, exist_mask
+        del method
         X = jnp.asarray(X)
         y = jnp.asarray(y).reshape(-1)
         Xt = self._apply_transform(X)                 # [N, M, d]
         K = self.kernel_func(Xt, Xt)                  # [N, N, C]
+
+        init_gains = init_hyp = None
+        if update and self.gains is not None:
+            # warm start like DiffCo.train(update=True): seed the vector
+            # gains at the previous-support rows; hypothesis follows as
+            # h_i = sum_j K[i, j, :] . g_j exactly by construction
+            assert exist_mask is not None, 'update=True requires exist_mask'
+            exist_mask = jnp.asarray(exist_mask)
+            C = self.gains.shape[1]
+            prev = jnp.zeros((X.shape[0], C), K.dtype)
+            exist_idx = jnp.nonzero(
+                exist_mask, size=int(self.num_valid),
+                fill_value=X.shape[0] - 1)[0]
+            valid_gains = jnp.where(self.valid_mask[:, None], self.gains, 0.0)
+            prev = prev.at[exist_idx].set(valid_gains[:int(self.num_valid)])
+            init_gains = prev
+            init_hyp = jnp.sum(K * prev[None, :, :], axis=(1, 2))
+        elif update:
+            raise ValueError('update=True requires a previously trained '
+                             'MultiDimDiffCo (no gains present)')
+
         gains, hyp, it = multidim_train_loop(K, y, self.beta,
-                                             int(max_iteration))
+                                             int(max_iteration),
+                                             init_gains=init_gains,
+                                             init_hypothesis=init_hyp)
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))
             print(f'MultiDimDiffCo ended at iteration {it}, ACC {acc:.4f}')

@@ -508,8 +508,18 @@ class MultiURDFRobot:
 # convenience robots (ref urdf_interface.py:871-934)
 
 
-def _data_path(*parts):
-    return os.path.join(robot_description_folder, *parts)
+def _data_path(*parts, vendored: str = None):
+    """Resolve a robot-description file; when the third-party mount does
+    not provide it and a vendored generated equivalent exists, fall back
+    to that so the framework runs standalone (robot_data package)."""
+    path = os.path.join(robot_description_folder, *parts)
+    if not os.path.exists(path) and vendored is not None:
+        from .. import robot_data
+        robot_data.ensure_default_assets()
+        fallback = os.path.join(robot_data.data_dir, vendored)
+        if os.path.exists(fallback):
+            return fallback
+    return path
 
 
 class KUKAiiwa(URDFRobot):
@@ -520,19 +530,27 @@ class KUKAiiwa(URDFRobot):
 
 
 class FrankaPanda(URDFRobot):
+    """Franka Panda. Uses the third-party panda_description URDF when the
+    data mount provides it; otherwise the vendored DH-equivalent
+    panda_simple (robot_data.generate_panda_like_urdf)."""
+
     def __init__(self, simple_collision=False, load_gripper=True,
                  **kwargs):
         mid = 'panda' if load_gripper else 'panda_no_gripper'
         if simple_collision:
             mid += '_simple_collision'
+        vendored = ('panda_simple.urdf' if load_gripper
+                    else 'panda_simple_no_gripper.urdf')
         super().__init__(
-            _data_path('panda_description', 'urdf', f'{mid}.urdf'),
+            _data_path('panda_description', 'urdf', f'{mid}.urdf',
+                       vendored=vendored),
             name='panda', **kwargs)
 
 
 class TwoLinkRobot(URDFRobot):
     def __init__(self, **kwargs):
-        super().__init__(_data_path('2link_robot.urdf'),
+        super().__init__(_data_path('2link_robot.urdf',
+                                    vendored='2link_robot.urdf'),
                          name='2link_robot', **kwargs)
 
 

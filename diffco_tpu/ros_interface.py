@@ -6,6 +6,10 @@ implementation is partially broken (undefined ``states`` at :56-68 and a
 missing StateValidity import); this version fixes those while keeping the
 same surface. All functionality degrades to clear ImportErrors when ROS is
 absent — ROS is robot middleware, never part of the TPU compute path.
+
+.. warning:: EXPERIMENTAL — this module cannot be exercised in this build
+   environment (no rospy/MoveIt) and has no test coverage; treat it as a
+   sketch of the integration surface, not verified parity.
 """
 from __future__ import annotations
 

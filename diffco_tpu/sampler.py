@@ -1,18 +1,24 @@
-"""Free-space escape sampling.
+"""Free-space escape sampling + FK-manifold uniform sampling.
 
 Functional parity targets (reference: /root/reference/scripts/escape.py
-OptimSampler :19-38 and scripts/compare_sampling.py): gradient-descent
-escape from a colliding configuration using the differentiable proxy
-score, vs. plain resampling.
+OptimSampler :19-38, scripts/compare_sampling.py, and
+collision_checkers.py:396-452 ``_uniform_sample_on_transformed_manifold``):
+gradient-descent escape from a colliding configuration using the
+differentiable proxy score, plain resampling, and Jacobian-determinant
+rejection sampling that makes configuration draws uniform *on the
+FK-transformed manifold* rather than in joint space.
 
 TPU-native design: the escape descent runs as one jitted ``lax.scan`` over
 iterations, vmapped over a batch of colliding configurations — the
-reference optimizes one configuration at a time with a host loop.
+reference optimizes one configuration at a time with a host loop. The
+manifold sampler computes all batch Jacobians with ``vmap(jacfwd)`` in one
+jitted call where the reference loops ``backward()`` per output dimension.
 """
 from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -88,3 +94,54 @@ class OptimSampler:
             free = jnp.logical_or(free, cand_free)
             checks += B
         return out, checks
+
+
+def manifold_jac_det(transform: Callable, q):
+    """sqrt(det(J J^T)) of the FK transform at each configuration —
+    the density correction factor for uniform-on-manifold sampling
+    (ref collision_checkers.py:417-428). q: [B, dof] -> [B]."""
+    def flat(qi):
+        return transform(qi[None]).reshape(-1)
+
+    jac = jax.vmap(jax.jacfwd(flat))(q)       # [B, out_dim, dof]
+    if jac.shape[-2] < jac.shape[-1]:
+        jac = jnp.swapaxes(jac, -1, -2)
+    JtJ = jnp.matmul(jnp.swapaxes(jac, -1, -2), jac,
+                     precision='highest')      # [B, dof, dof] (smaller side)
+    JtJ = JtJ + 1e-4 * jnp.eye(JtJ.shape[-1], dtype=JtJ.dtype)
+    return jnp.sqrt(jnp.maximum(jnp.linalg.det(JtJ), 0.0))
+
+
+def uniform_sample_on_transformed_manifold(robot, transform: Callable,
+                                           num_samples: int, key,
+                                           max_rounds: int = 50):
+    """Rejection-sample configurations uniformly w.r.t. the transformed
+    (FK control-point) manifold measure (ref
+    collision_checkers.py:396-452): accept q with probability
+    sqrt(det(J J^T)) / max_det.
+
+    Host loop over fixed-shape device rounds; returns [num_samples, dof].
+    """
+    _det = jax.jit(lambda qq: manifold_jac_det(transform, qq))
+    key, sub = jax.random.split(key)
+    q = robot.rand_configs(num_samples, sub)
+    det = _det(q)
+    max_det = 1.1 * float(det.max())
+
+    accepted = []
+    count = 0
+    for _ in range(max_rounds):
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (q.shape[0],))
+        mask = np.asarray(det > u * max_det)
+        acc = np.asarray(q)[mask]
+        accepted.append(acc)
+        count += len(acc)
+        if count >= num_samples:
+            break
+        key, sub = jax.random.split(key)
+        q = robot.rand_configs(num_samples, sub)
+        det = _det(q)
+        # track the running max so late high-density draws stay valid
+        max_det = max(max_det, 1.1 * float(det.max()))
+    return jnp.asarray(np.concatenate(accepted, axis=0)[:num_samples])

@@ -11,7 +11,8 @@ import pytest
 
 import diffco_tpu as dc
 
-HAS_ROBOT_DATA = os.path.isdir(dc.robot_description_folder)
+# convenience constructors fall back to vendored generated URDFs, so
+# these tests run with or without the third-party robot-data mount
 
 
 def _translation(t):
@@ -39,7 +40,6 @@ def panda_world():
     return robot, shape_env
 
 
-@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
 def test_fk_diffco_panda_fit(panda_world):
     robot, shape_env = panda_world
     fkdc = dc.ForwardKinematicsDiffCo(robot=robot, environment=shape_env)
@@ -53,7 +53,6 @@ def test_fk_diffco_panda_fit(panda_world):
     assert scores.shape[:2] == (5, 10)
 
 
-@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
 def test_fk_diffco_2link_fit():
     shape_env = dc.ShapeEnv(shapes={
         'box1': {'type': 'Box', 'params': {'extents': [0.5, 0.5, 0.5]},
@@ -69,7 +68,6 @@ def test_fk_diffco_2link_fit():
     assert acc >= 0.88 and tpr >= 0.88 and tnr >= 0.88
 
 
-@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
 def test_active_learning_recovery(panda_world):
     """Move obstacles -> TPR drops -> update() restores it
     (ref test_fkine_diffco.py:117-189)."""
@@ -122,7 +120,6 @@ def test_rbf_diffco_gt_func_only():
     assert np.all(np.asarray(s_biased) >= np.asarray(s_raw))
 
 
-@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
 def test_checker_save_load(tmp_path):
     from diffco_tpu import routines
     from diffco_tpu.robots import RevolutePlanarRobot

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 import diffco_tpu as dc
+from diffco_tpu.robots.urdf import _data_path
 from diffco_tpu.robots import RevolutePlanarRobot
 from diffco_tpu.geometry import Obstacles2D, planar_robot_collision
 
@@ -68,30 +69,49 @@ def test_optimistic_checker(key):
 
 
 def test_proxy_faster_than_gt_batch(key):
-    """Reference speed test (test_fkine_diffco.py:72-100): batched proxy
-    inference must not be slower than the exact geometric check."""
-    robot, obs, gt = _world()
-    checker = dc.RBFDiffCo(robot=robot, gt_check_func=gt)
-    checker.fit(num_samples=1200)
+    """Reference speed assert (test_fkine_diffco.py:72-100): batched proxy
+    inference must not be slower than the exact check. The oracle here is
+    the native C++ backend (diffco_tpu.native, libfcl's role in the
+    reference) querying the robot's collision spheres against the scene —
+    a much stronger comparator than the batched JAX geometric GT."""
+    from diffco_tpu import native
+    if not native.available():
+        pytest.skip('native backend unavailable')
+    T1, T2 = np.eye(4), np.eye(4)
+    T1[:3, 3] = [1.0, 1.0, 0.2]
+    T2[:3, 3] = [-1.0, 0.5, 0.15]
+    env = dc.ShapeEnv(shapes={
+        'box1': {'type': 'Box', 'params': {'extents': [0.5, 0.5, 0.5]},
+                 'transform': T1},
+        'sphere1': {'type': 'Sphere', 'params': {'radius': 0.4},
+                    'transform': T2}})
+    robot = dc.TwoLinkRobot(setup_acm=False, link_spheres=8)
+    checker = dc.ForwardKinematicsDiffCo(robot=robot, environment=env)
+    checker.fit(num_samples=1000)
     q = robot.rand_configs(1000, key)
-    # warm both paths
-    jax.block_until_ready(checker.collision_score(q))
-    jax.block_until_ready(gt(q))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        s = checker.collision_score(q)
-    jax.block_until_ready(s)
-    dc_time = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        g = gt(q)
-    jax.block_until_ready(g)
-    gt_time = time.perf_counter() - t0
-    # allow slack: the 2-link geometric GT is itself tiny on this device
-    assert dc_time <= gt_time * 3.0
+    ns = native.NativeScene(env.scene)
+    radii = np.asarray(robot.link_sphere_radii, np.float64)
+
+    def gt_native(qq):
+        centers = np.asarray(robot.sphere_centers_world(qq), np.float64)
+        return native.spheres_vs_scene(centers, radii, ns)
+
+    # proxy path = the jitted serving score (what the optimizers call);
+    # best-of-N single-shot times to shed CI host noise
+    score = checker.score_fn()
+    jax.block_until_ready(score(q))
+    gt_native(q)
+    dc_times, gt_times = [], []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(score(q))
+        dc_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        gt_native(q)
+        gt_times.append(time.perf_counter() - t0)
+    assert min(dc_times) <= min(gt_times), (dc_times, gt_times)
 
 
-@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
 def test_multi_urdf_robot(key):
     """Dual-robot wrapper (ref test_fkine_diffco.py:192-232 scaled
     down)."""
@@ -99,7 +119,7 @@ def test_multi_urdf_robot(key):
     base2 = np.eye(4)
     base2[0, 3] = 2.5
     r2 = dc.URDFRobot(
-        os.path.join(dc.robot_description_folder, '2link_robot.urdf'),
+        _data_path('2link_robot.urdf', vendored='2link_robot.urdf'),
         base_transform=base2, setup_acm=False)
     multi = dc.MultiURDFRobot([r1, r2])
     assert multi._n_dofs == 4
@@ -112,7 +132,6 @@ def test_multi_urdf_robot(key):
     assert len(fk_list) == 2
 
 
-@pytest.mark.skipif(not HAS_ROBOT_DATA, reason='robot data unavailable')
 def test_multi_urdf_fkdiffco_fit(key):
     """Dual-robot FK-DiffCo fit (ref test_fkine_diffco.py:192-232):
     two 2-link robots with offset bases, inter-robot collision included."""
@@ -120,7 +139,7 @@ def test_multi_urdf_fkdiffco_fit(key):
     base2 = np.eye(4)
     base2[0, 3] = 1.6  # close enough that the arms can reach each other
     r2 = dc.URDFRobot(
-        os.path.join(dc.robot_description_folder, '2link_robot.urdf'),
+        _data_path('2link_robot.urdf', vendored='2link_robot.urdf'),
         base_transform=base2, setup_acm=False)
     multi = dc.MultiURDFRobot([r1, r2])
     T = np.eye(4)

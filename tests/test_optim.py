@@ -129,3 +129,25 @@ def test_weighted_stepper(world):
     res = stepper.step(p0)
     assert res.x.shape == (10, 2)
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_trustconstr_traj_optimize(world):
+    """The gradient+Hessian trust-constr path (ref optim.py:324-516) —
+    must be a distinct implementation from gradient_free (it consumes
+    analytic jacobians and the constraint Hessian) and succeed on the
+    2-link world at least as reliably."""
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(7))
+    options = {
+        'N_WAYPOINTS': 12, 'NUM_RE_TRIALS': 2, 'MAXITER': 150,
+        'safety_margin': -0.3, 'max_speed': 1.5, 'seed': 0, 'num_sub': 3,
+    }
+    rec = optim.trustconstr_traj_optimize(robot, dist_est, start, target,
+                                          options)
+    sol = np.asarray(rec['solution'])
+    assert sol.shape == (12, 2)
+    assert np.allclose(sol[0], np.asarray(start), atol=1e-5)
+    assert np.allclose(sol[-1], np.asarray(target), atol=1e-5)
+    assert rec['cnt_check'] > 0
+    assert optim.trustconstr_traj_optimize is not \
+        optim.gradient_free_traj_optimize

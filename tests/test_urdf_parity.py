@@ -145,3 +145,41 @@ def test_all_urdfs_parse_and_build():
         q = robot.rand_configs(4, jax.random.PRNGKey(1))
         pts = robot.fkine(q)
         assert np.all(np.isfinite(np.asarray(pts))), rel
+
+
+def test_vendored_panda_matches_analytic_dh():
+    """The vendored panda_simple URDF (robot_data.generate_panda_like_urdf)
+    must reproduce the analytic Panda DH chain (robots.analytic.PandaFK)
+    exactly: URDF link i+1 / hand positions == cumulative DH frame i
+    translations. This oracle always runs — no third-party data needed."""
+    from diffco_tpu import robot_data
+    from diffco_tpu.robots import PandaFK
+    robot_data.ensure_default_assets()
+    path = os.path.join(robot_data.data_dir, 'panda_simple.urdf')
+    urdf_robot = dc.URDFRobot(path, setup_acm=False)
+    analytic = PandaFK()
+
+    rng = np.random.RandomState(0)
+    lims = np.asarray(analytic.limits)
+    qs = jnp.asarray(rng.uniform(lims[:, 0], lims[:, 1], (20, 7)),
+                     jnp.float32)
+    _, tr = urdf_robot.fk_poses(qs)
+    tr = np.asarray(tr)  # [B, n_links, 3]
+    frames = analytic._fk_frames_soa(qs)
+    link_names = list(urdf_robot.spec.link_names)
+    for i in range(7):
+        want = np.stack([np.asarray(c) for c in frames[i][1]], axis=-1)
+        lname = f'panda_link{i + 2}' if i < 6 else 'panda_hand'
+        li = link_names.index(lname)
+        assert np.allclose(tr[:, li], want, atol=1e-4), lname
+
+
+def test_vendored_two_link_parses():
+    from diffco_tpu import robot_data
+    robot_data.ensure_default_assets()
+    robot = dc.URDFRobot(os.path.join(robot_data.data_dir,
+                                      '2link_robot.urdf'), setup_acm=False)
+    assert robot._n_dofs == 2
+    q = robot.rand_configs(8, jax.random.PRNGKey(0))
+    pts = robot.fkine(q)
+    assert np.all(np.isfinite(np.asarray(pts)))
