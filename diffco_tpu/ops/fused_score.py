@@ -103,20 +103,25 @@ def _make_fwdgrad_kernel(use_bf16: bool):
             s.astype(dt), xT.astype(dt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [S, TB]
-        d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0)
-        r = jnp.sqrt(d2 + 1e-12)                      # [S, TB]
+        d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0) + 1e-12
+        # ONE transcendental pass: rinv = 1/r; then r = d2 * rinv and
+        # u = w / r = w * rinv are multiplies. (sqrt + divide cost 2x —
+        # 2*S*TB transcendentals dominated the kernel at bench shapes.)
+        rinv = jax.lax.rsqrt(d2)                      # [S, TB]
+        r = d2 * rinv                                 # [S, TB], = sqrt(d2)
         # score = w . r over S as an MXU matvec (beats a VPU lane-reduce)
         out_ref[:] = jax.lax.dot_general(
             wv.astype(dt).T, r.astype(dt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [1, TB]
-        u = wv / r                                    # [S, TB]
+        # rowsum(u) = w^T rinv and S^T u = (s*w)^T rinv: rinv feeds both
+        # matvecs directly, u is never materialized
         rowsum = jax.lax.dot_general(
-            jnp.ones((1, u.shape[0]), dt), u.astype(dt),
+            wv.astype(dt).T, rinv.astype(dt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [1, TB]
         su = jax.lax.dot_general(
-            s.astype(dt), u.astype(dt),
+            (s * wv).astype(dt), rinv.astype(dt),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [F, TB]
         dxT_ref[:] = xT * rowsum - su
@@ -158,7 +163,7 @@ def _poly_score_grad_pallas(x, s, w, use_bf16: bool = True):
         cost_estimate=pl.CostEstimate(
             flops=6 * Bp * S * F,
             bytes_accessed=Bp * F * 8 + S * F * 4,
-            transcendentals=2 * Bp * S),
+            transcendentals=Bp * S),
         interpret=_interpret(),
     )(xp, s, w.reshape(S, 1))
     return score[0, :B], dxT[:, :B].T

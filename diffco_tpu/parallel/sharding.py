@@ -228,6 +228,53 @@ def distributed_trajopt(robot_fkine, score_fn, start_cfg, target_cfg,
     return solution, cost, success
 
 
+def distributed_fit_lazy(kernel_func, X_transformed, y, mesh: Mesh,
+                         beta: float = 1.0, max_iteration: int = 1000,
+                         init_gains=None, axis: str = 'dp'):
+    """Distributed **lazy-row** proxy fit: O(N / n_dev) memory per device,
+    no Gram matrix anywhere.
+
+    Runs ``perceptron.perceptron_train_loop_lazy`` (identical greedy
+    update sequence; each iteration recomputes the single Gram row it
+    needs) with the dataset rows sharded over ``axis``. GSPMD turns the
+    per-iteration [1, F] x [F, N] row matvec into local partials — the
+    selected point's features are all-gathered (one [F] vector per
+    iteration over ICI) and the hypothesis update stays row-local. This is
+    the scale-out path past the single-chip lazy trainer (65k+ rows):
+    memory per device is O(N * F / n_dev).
+
+    ``kernel_func`` must be hashable (KernelFunc instances are).
+    Returns (gains [N], hypothesis [N], iterations).
+    """
+    from ..perceptron import perceptron_train_loop_lazy
+
+    n_dev = mesh.shape[axis]
+    Xp, N = _pad_to_multiple(jnp.asarray(X_transformed), n_dev)
+    yp, _ = _pad_to_multiple(jnp.asarray(y).reshape(-1), n_dev)
+    valid = jnp.arange(Xp.shape[0]) < N
+    Xs = shard_batch(Xp, mesh, axis)
+    ys = shard_batch(yp, mesh, axis)
+    vs = shard_batch(valid, mesh, axis)
+
+    ig = ih = None
+    if init_gains is not None:
+        igp, _ = _pad_to_multiple(jnp.asarray(init_gains).reshape(-1), n_dev)
+        ig = shard_batch(igp, mesh, axis)
+        nz = jnp.nonzero(np.asarray(igp) != 0)[0]
+        if len(nz):
+            ih = jax.jit(lambda x, s, g: jnp.matmul(
+                kernel_func(x, s), g, precision='highest'))(
+                    Xs, Xp[nz], igp[nz])
+        else:
+            ih = jnp.zeros_like(yp)
+        ih = shard_batch(ih, mesh, axis)
+
+    gains, hyp, it = perceptron_train_loop_lazy(
+        Xs, ys, kernel_func, beta, int(max_iteration),
+        init_gains=ig, init_hypothesis=ih, valid_mask=vs)
+    return gains[:N], hyp[:N], it
+
+
 # Backwards-compatible aliases (round-1 names).
 distributed_fit_step = distributed_fit
 distributed_trajopt_step = distributed_trajopt

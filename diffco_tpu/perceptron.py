@@ -14,7 +14,12 @@ TPU-first design decisions (vs. the reference's CPU/torch implementation):
     matmul builds K up front, and each iteration is a single row gather +
     scatter-add + axpy — entirely on device, no host round trips. The
     reference computes Gram rows lazily as a CPU optimization; on TPU the
-    dense precompute is faster than the bookkeeping.
+    dense precompute is faster than the bookkeeping — up to the HBM
+    ceiling. Past ``lazy_gram_threshold`` rows (default 16384, ~1 GB of
+    Gram) ``train`` switches to ``perceptron_train_loop_lazy`` /
+    ``multiclass_train_loop_lazy``: the identical update sequence with the
+    needed Gram row(s) recomputed per iteration as a [1, F] x [F, N] MXU
+    matvec, extending on-device training to 65k+ rows in O(N) memory.
 
   * Support sets are **fixed-shape padded arrays** with a validity mask
     (the reference's optional ``max_num_supports`` mode, :159-196, becomes
@@ -114,6 +119,76 @@ def perceptron_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
     return gains, hyp, it
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('kernel_func', 'max_iteration'))
+def perceptron_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
+                               kernel_func, beta: float,
+                               max_iteration: int,
+                               init_gains: Optional[jnp.ndarray] = None,
+                               init_hypothesis: Optional[jnp.ndarray] = None,
+                               valid_mask: Optional[jnp.ndarray] = None):
+    """Greedy perceptron training with **lazy kernel rows** — O(N) memory.
+
+    Same update sequence as :func:`perceptron_train_loop` (bitwise: rows
+    come from the identical ``pairwise_sqdist`` matmul expansion), but the
+    [N, N] Gram matrix is never materialized: each while_loop iteration
+    computes the single kernel row it needs, ``k(x_idx, X)``, as a
+    [1, F] x [F, N] MXU matvec. This is the reference's lazy-row CPU
+    strategy (kernel_perceptrons.py:117-119) turned into the TPU
+    *large-N* path: the dense precompute wins below ~16k rows, while this
+    trainer extends on-device training to the 65k+ sweep scale at
+    O(N * F) per iteration.
+
+    ``kernel_func`` must be hashable (KernelFunc instances hash by
+    identity — pass the same instance across calls to reuse the compile).
+    Returns (gains, hypothesis, iterations).
+    """
+    N = y.shape[0]
+    Xt = Xt.reshape(N, -1)
+    y = y.reshape(-1).astype(Xt.dtype)
+    # diagonal of the Gram, computed row-free: k(x_i, x_i) per point
+    diagK = jax.vmap(
+        lambda r: kernel_func(r[None], r[None])[0, 0])(Xt)
+    target = jnp.where(y > 0, jnp.asarray(beta, Xt.dtype),
+                       jnp.asarray(-1.0, Xt.dtype))
+    valid = (jnp.ones(N, bool) if valid_mask is None
+             else valid_mask.reshape(-1))
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(jnp.logical_not(done), it < max_iteration)
+
+    def body(state):
+        gains, hyp, it, _ = state
+        margin = jnp.where(valid, y * hyp, jnp.inf)
+        min_i = jnp.argmin(margin)
+        take_update = margin[min_i] <= 0
+        delta_update = (target[min_i] - hyp[min_i]) / diagK[min_i]
+
+        modified = y * (hyp - gains * diagK) * (gains != 0) * valid
+        max_i = jnp.argmax(modified)
+        removable = jnp.logical_and(modified[max_i] > 0,
+                                    jnp.sum(gains != 0) > 1)
+        take_remove = jnp.logical_and(jnp.logical_not(take_update), removable)
+        done = jnp.logical_and(jnp.logical_not(take_update),
+                               jnp.logical_not(removable))
+
+        idx = jnp.where(take_update, min_i, max_i)
+        delta = jnp.where(take_update, delta_update,
+                          jnp.where(take_remove, -gains[max_i], 0.0))
+        row = kernel_func(Xt[idx][None], Xt)[0]     # lazy: one Gram row
+        gains = gains.at[idx].add(delta)
+        hyp = hyp + delta * row
+        return gains, hyp, it + 1, done
+
+    gains0 = jnp.zeros(N, Xt.dtype) if init_gains is None else init_gains
+    hyp0 = (jnp.zeros(N, Xt.dtype) if init_hypothesis is None
+            else init_hypothesis)
+    gains, hyp, it, _ = lax.while_loop(
+        cond, body, (gains0, hyp0, jnp.asarray(0), jnp.asarray(False)))
+    return gains, hyp, it
+
+
 @functools.partial(jax.jit, static_argnames=('max_iteration', 'num_class'))
 def multiclass_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
                           max_iteration: int, num_class: int,
@@ -162,6 +237,67 @@ def multiclass_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
     gains0 = (jnp.zeros((N, num_class), K.dtype) if init_gains is None
               else init_gains)
     hyp0 = (jnp.zeros((N, num_class), K.dtype) if init_hypothesis is None
+            else init_hypothesis)
+    gains, hyp, it, _ = lax.while_loop(
+        cond, body, (gains0, hyp0, jnp.asarray(0), jnp.asarray(False)))
+    return gains, hyp, it
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_func', 'max_iteration',
+                                             'num_class'))
+def multiclass_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
+                               kernel_func, beta: float,
+                               max_iteration: int, num_class: int,
+                               init_gains: Optional[jnp.ndarray] = None,
+                               init_hypothesis: Optional[jnp.ndarray] = None):
+    """Lazy-row variant of :func:`multiclass_train_loop` — O(N * C) memory.
+
+    Each iteration picks one (update-or-removal) index per class from the
+    shared diagonal, then computes exactly the ``num_class`` Gram rows it
+    needs as one [C, F] x [F, N] MXU matmul. Update sequence matches the
+    dense loop (classes advance concurrently per iteration)."""
+    N = y.shape[0]
+    Xt = Xt.reshape(N, -1)
+    y = y.astype(Xt.dtype)          # [N, C]
+    diagK = jax.vmap(
+        lambda r: kernel_func(r[None], r[None])[0, 0])(Xt)
+    target = jnp.where(y > 0, jnp.asarray(beta, Xt.dtype),
+                       jnp.asarray(-1.0, Xt.dtype))
+
+    def class_pick(gains_c, hyp_c, y_c, target_c):
+        margin = y_c * hyp_c
+        min_i = jnp.argmin(margin)
+        take_update = margin[min_i] <= 0
+        delta_update = (target_c[min_i] - hyp_c[min_i]) / diagK[min_i]
+        modified = y_c * (hyp_c - gains_c * diagK) * (gains_c != 0)
+        max_i = jnp.argmax(modified)
+        removable = jnp.logical_and(modified[max_i] > 0,
+                                    jnp.sum(gains_c != 0) > 1)
+        take_remove = jnp.logical_and(jnp.logical_not(take_update), removable)
+        done_c = jnp.logical_and(jnp.logical_not(take_update),
+                                 jnp.logical_not(removable))
+        idx = jnp.where(take_update, min_i, max_i)
+        delta = jnp.where(take_update, delta_update,
+                          jnp.where(take_remove, -gains_c[max_i], 0.0))
+        return idx, delta, done_c
+
+    vpick = jax.vmap(class_pick, in_axes=(1, 1, 1, 1), out_axes=(0, 0, 0))
+
+    def cond(state):
+        _, _, it, all_done = state
+        return jnp.logical_and(jnp.logical_not(all_done), it < max_iteration)
+
+    def body(state):
+        gains, hyp, it, _ = state
+        idxs, deltas, done = vpick(gains, hyp, y, target)      # [C] each
+        rows = kernel_func(Xt[idxs], Xt)                       # [C, N] lazy
+        gains = gains.at[idxs, jnp.arange(num_class)].add(deltas)
+        hyp = hyp + rows.T * deltas[None, :]
+        return gains, hyp, it + 1, jnp.all(done)
+
+    gains0 = (jnp.zeros((N, num_class), Xt.dtype) if init_gains is None
+              else init_gains)
+    hyp0 = (jnp.zeros((N, num_class), Xt.dtype) if init_hypothesis is None
             else init_hypothesis)
     gains, hyp, it, _ = lax.while_loop(
         cond, body, (gains0, hyp0, jnp.asarray(0), jnp.asarray(False)))
@@ -247,6 +383,9 @@ class DiffCo(Perceptron):
         self.beta = float(beta)
         self.transform = transform
         self.max_num_supports = max_num_supports  # None -> auto (pow2 pad)
+        # rows above which train() switches from the dense-Gram trainer to
+        # the O(N)-memory lazy-row trainer (perceptron_train_loop_lazy)
+        self.lazy_gram_threshold = 16384
 
         self.support_points = None       # [S, dof]
         self.support_transformed = None  # [S, ...]
@@ -287,36 +426,43 @@ class DiffCo(Perceptron):
         del method
         X = jnp.asarray(X)
         y = jnp.asarray(y).reshape(-1)
-        if X.shape[0] > 32768:
-            # the trainer materializes the dense [N, N] Gram (the TPU-side
-            # win over the reference's lazy rows); past ~32k rows that is
-            # > 4 GB and the right tool is the mesh-sharded trainer
-            raise ValueError(
-                f'training set of {X.shape[0]} rows would materialize a '
-                f'{X.shape[0]}x{X.shape[0]} Gram matrix '
-                f'(~{X.shape[0] ** 2 * 4 / 1e9:.1f} GB). Subsample, or use '
-                f'diffco_tpu.parallel.distributed_fit to row-shard the '
-                f'Gram over a device mesh.')
+        # past ~16k rows the dense [N, N] Gram precompute (the TPU-side win
+        # over the reference's lazy rows at typical 5-10k scales) stops
+        # paying for its O(N^2) HBM footprint; switch to the lazy-row
+        # trainer (O(N) memory, identical update sequence)
+        lazy = X.shape[0] > self.lazy_gram_threshold
         Xt = self._apply_transform(X)
-        K = self.kernel_func(Xt, Xt)
+        K = None if lazy else self.kernel_func(Xt, Xt)
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
             assert exist_mask is not None, 'update=True requires exist_mask'
             exist_mask = jnp.asarray(exist_mask)
             # seed gains at previous supports; hypothesis = K @ gains exactly
-            prev = jnp.zeros(X.shape[0], K.dtype)
+            prev = jnp.zeros(X.shape[0], Xt.dtype)
             exist_idx = jnp.nonzero(
                 exist_mask, size=int(self.num_valid),
                 fill_value=X.shape[0] - 1)[0]
             valid_gains = jnp.where(self.valid_mask, self.gains, 0.0)
             prev = prev.at[exist_idx].set(valid_gains[:int(self.num_valid)])
             init_gains = prev
-            init_hyp = jnp.matmul(K, prev, precision='highest')
+            if lazy:
+                # K @ prev with prev supported on exist_idx only: an
+                # [N, S] cross-Gram against the seeded rows suffices
+                init_hyp = jnp.matmul(
+                    self.kernel_func(Xt, Xt[exist_idx]),
+                    prev[exist_idx], precision='highest')
+            else:
+                init_hyp = jnp.matmul(K, prev, precision='highest')
 
-        gains, hyp, it = perceptron_train_loop(
-            K, y, self.beta, int(max_iteration),
-            init_gains=init_gains, init_hypothesis=init_hyp)
+        if lazy:
+            gains, hyp, it = perceptron_train_loop_lazy(
+                Xt, y, self.kernel_func, self.beta, int(max_iteration),
+                init_gains=init_gains, init_hypothesis=init_hyp)
+        else:
+            gains, hyp, it = perceptron_train_loop(
+                K, y, self.beta, int(max_iteration),
+                init_gains=init_gains, init_hypothesis=init_hyp)
         self.train_iterations = int(it)
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))
@@ -327,23 +473,30 @@ class DiffCo(Perceptron):
         self._select_supports(X, Xt, gains, hyp, y, dist, K)
 
     def _select_supports(self, X, Xt, gains, hyp, y, dist, K):
+        """Compact to the fixed-size padded support set. ``K`` may be None
+        (lazy-row training) — the [S, S] support Gram is then recomputed
+        from the kept rows, which yields the identical entries."""
         count = int(jnp.sum(gains != 0))
         S = self._pad_size(max(count, 2))
         idx, valid, num_valid = extract_supports(gains, S)
-        vf = valid.astype(K.dtype)
+        vf = valid.astype(Xt.dtype)
         take = lambda a: jnp.take(a, idx, axis=0) * vf.reshape(
             (S,) + (1,) * (a.ndim - 1)).astype(a.dtype)
         self.support_points = take(X)
         self.support_transformed = take(Xt)
         self.gains = take(gains)
         self.hypothesis = take(hyp)
-        self.y = take(y.astype(K.dtype))
+        self.y = take(y.astype(Xt.dtype))
         self.distance = take(dist) if dist is not None else None
-        self.kernel_matrix = (jnp.take(jnp.take(K, idx, axis=0), idx, axis=1)
-                              * vf[:, None] * vf[None, :])
+        if K is None:
+            km = self.kernel_func(self.support_transformed,
+                                  self.support_transformed)
+        else:
+            km = jnp.take(jnp.take(K, idx, axis=0), idx, axis=1)
+        self.kernel_matrix = km * vf[:, None] * vf[None, :]
         self.valid_mask = valid
         self.num_valid = int(num_valid)
-        self.rbf_nodes = jnp.zeros(S, K.dtype)
+        self.rbf_nodes = jnp.zeros(S, Xt.dtype)
         if count > S:
             # more nonzero gains than slots: the top-S truncation breaks
             # the hypothesis == K @ gains invariant the warm-start update
@@ -538,25 +691,37 @@ class MultiDiffCo(DiffCo):
         y = jnp.asarray(y)
         assert y.ndim == 2, 'MultiDiffCo expects labels [N, num_class]'
         self.num_class = y.shape[1]
+        lazy = X.shape[0] > self.lazy_gram_threshold
         Xt = self._apply_transform(X)
-        K = self.kernel_func(Xt, Xt)
+        K = None if lazy else self.kernel_func(Xt, Xt)
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
             assert exist_mask is not None
             exist_mask = jnp.asarray(exist_mask)
-            prev = jnp.zeros((X.shape[0], self.num_class), K.dtype)
+            prev = jnp.zeros((X.shape[0], self.num_class), Xt.dtype)
             exist_idx = jnp.nonzero(
                 exist_mask, size=int(self.num_valid),
                 fill_value=X.shape[0] - 1)[0]
             valid_gains = jnp.where(self.valid_mask[:, None], self.gains, 0.0)
             prev = prev.at[exist_idx].set(valid_gains[:int(self.num_valid)])
             init_gains = prev
-            init_hyp = jnp.matmul(K, prev, precision='highest')
+            if lazy:
+                init_hyp = jnp.matmul(
+                    self.kernel_func(Xt, Xt[exist_idx]),
+                    prev[exist_idx], precision='highest')
+            else:
+                init_hyp = jnp.matmul(K, prev, precision='highest')
 
-        gains, hyp, it = multiclass_train_loop(
-            K, y, self.beta, int(max_iteration), self.num_class,
-            init_gains=init_gains, init_hypothesis=init_hyp)
+        if lazy:
+            gains, hyp, it = multiclass_train_loop_lazy(
+                Xt, y, self.kernel_func, self.beta, int(max_iteration),
+                self.num_class,
+                init_gains=init_gains, init_hypothesis=init_hyp)
+        else:
+            gains, hyp, it = multiclass_train_loop(
+                K, y, self.beta, int(max_iteration), self.num_class,
+                init_gains=init_gains, init_hypothesis=init_hyp)
         self.train_iterations = int(it)
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))

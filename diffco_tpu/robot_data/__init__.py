@@ -175,6 +175,115 @@ def generate_panda_like_urdf(path: str = None,
     return path
 
 
+def generate_trifinger_urdf(path: str = None) -> str:
+    """A trifinger-style branching robot (ref TriFingerEdu,
+    urdf_interface.py:871-934 and trifinger_edu_description assets): three
+    identical 3-DOF fingers mounted at 120-degree intervals around a base
+    plate. Exercises branching-tree FK (multiple children per link) with
+    mixed joint axes — the serial-chain assets never do."""
+    import math
+    parts = ['<?xml version="1.0"?>', '<robot name="trifinger_simple">',
+             '<link name="base"/>']
+    seg = [0.16, 0.16, 0.08]          # upper, middle, tip segment lengths
+    axes = ['1 0 0', '0 1 0', '0 1 0']
+    for f in range(3):
+        ang = 2.0 * math.pi * f / 3.0
+        x, y = 0.12 * math.cos(ang), 0.12 * math.sin(ang)
+        mount = f'finger{f}_mount'
+        parts.append(f'<link name="{mount}"/>')
+        parts.append(
+            f'<joint name="finger{f}_mount_joint" type="fixed">\n'
+            f'  <origin xyz="{x:.6f} {y:.6f} 0.05" rpy="0 0 {ang:.6f}"/>\n'
+            f'  <parent link="base"/>\n'
+            f'  <child link="{mount}"/>\n'
+            f'</joint>')
+        parent = mount
+        for s in range(3):
+            link = f'finger{f}_link{s}'
+            col = (f'  <collision>\n'
+                   f'    <origin xyz="0 0 {-seg[s] / 2}" rpy="0 0 0"/>\n'
+                   f'    <geometry><cylinder length="{seg[s]}" '
+                   f'radius="0.015"/></geometry>\n'
+                   f'  </collision>\n')
+            parts.append(f'<link name="{link}">\n{col}</link>')
+            origin = ('<origin xyz="0 0 0" rpy="0 0 0"/>' if s == 0 else
+                      f'<origin xyz="0 0 {-seg[s - 1]}" rpy="0 0 0"/>')
+            parts.append(
+                f'<joint name="finger{f}_joint{s}" type="revolute">\n'
+                f'  {origin}\n'
+                f'  <axis xyz="{axes[s]}"/>\n'
+                f'  <parent link="{parent}"/>\n'
+                f'  <child link="{link}"/>\n'
+                f'  <limit effort="10" lower="{-math.pi / 2}" '
+                f'upper="{math.pi / 2}" velocity="10"/>\n'
+                f'</joint>')
+            parent = link
+    parts.append('</robot>')
+    if path is None:
+        path = os.path.join(data_dir, 'trifinger_simple.urdf')
+    with open(path, 'w') as f:
+        f.write('\n'.join(parts))
+    return path
+
+
+def generate_lift_urdf(path: str = None) -> str:
+    """A small 'lift' rig covering prismatic and mimic joints in one
+    always-available asset: prismatic torso (z) -> revolute elbow ->
+    prismatic left finger + right finger mimicking it with
+    multiplier -1 (a parallel gripper, like the reference's Panda hand
+    fingers, panda.urdf finger2 mimic)."""
+    parts = [
+        '<?xml version="1.0"?>', '<robot name="lift_rig">',
+        '<link name="base"/>',
+        '<link name="torso">\n'
+        '  <collision><origin xyz="0 0 0" rpy="0 0 0"/>\n'
+        '    <geometry><box size="0.1 0.1 0.4"/></geometry>\n'
+        '  </collision>\n</link>',
+        '<joint name="torso_lift" type="prismatic">\n'
+        '  <origin xyz="0 0 0.2" rpy="0 0 0"/>\n'
+        '  <axis xyz="0 0 1"/>\n'
+        '  <parent link="base"/><child link="torso"/>\n'
+        '  <limit effort="100" lower="0.0" upper="0.4" velocity="0.5"/>\n'
+        '</joint>',
+        '<link name="arm">\n'
+        '  <collision><origin xyz="0.15 0 0" rpy="0 1.5707963 0"/>\n'
+        '    <geometry><cylinder length="0.3" radius="0.03"/></geometry>\n'
+        '  </collision>\n</link>',
+        '<joint name="elbow" type="revolute">\n'
+        '  <origin xyz="0.05 0 0.15" rpy="0 0 0"/>\n'
+        '  <axis xyz="0 0 1"/>\n'
+        '  <parent link="torso"/><child link="arm"/>\n'
+        '  <limit effort="50" lower="-2.5" upper="2.5" velocity="2"/>\n'
+        '</joint>',
+        '<link name="finger_l">\n'
+        '  <collision><origin xyz="0 0 0" rpy="0 0 0"/>\n'
+        '    <geometry><box size="0.02 0.02 0.08"/></geometry>\n'
+        '  </collision>\n</link>',
+        '<joint name="finger_l_joint" type="prismatic">\n'
+        '  <origin xyz="0.3 0.04 0" rpy="0 0 0"/>\n'
+        '  <axis xyz="0 1 0"/>\n'
+        '  <parent link="arm"/><child link="finger_l"/>\n'
+        '  <limit effort="20" lower="0.0" upper="0.04" velocity="0.1"/>\n'
+        '</joint>',
+        '<link name="finger_r">\n'
+        '  <collision><origin xyz="0 0 0" rpy="0 0 0"/>\n'
+        '    <geometry><box size="0.02 0.02 0.08"/></geometry>\n'
+        '  </collision>\n</link>',
+        '<joint name="finger_r_joint" type="prismatic">\n'
+        '  <origin xyz="0.3 -0.04 0" rpy="0 0 0"/>\n'
+        '  <axis xyz="0 1 0"/>\n'
+        '  <parent link="arm"/><child link="finger_r"/>\n'
+        '  <limit effort="20" lower="-0.04" upper="0.0" velocity="0.1"/>\n'
+        '  <mimic joint="finger_l_joint" multiplier="-1" offset="0"/>\n'
+        '</joint>',
+        '</robot>']
+    if path is None:
+        path = os.path.join(data_dir, 'lift_rig.urdf')
+    with open(path, 'w') as f:
+        f.write('\n'.join(parts))
+    return path
+
+
 def ensure_default_assets() -> str:
     """Generate the vendored default assets (idempotent); returns the
     vendored data directory. Called by the URDFRobot convenience
@@ -186,4 +295,8 @@ def ensure_default_assets() -> str:
     if not os.path.exists(os.path.join(data_dir,
                                        'panda_simple_no_gripper.urdf')):
         generate_panda_like_urdf(load_gripper=False)
+    if not os.path.exists(os.path.join(data_dir, 'trifinger_simple.urdf')):
+        generate_trifinger_urdf()
+    if not os.path.exists(os.path.join(data_dir, 'lift_rig.urdf')):
+        generate_lift_urdf()
     return data_dir

@@ -7,9 +7,10 @@ missing StateValidity import); this version fixes those while keeping the
 same surface. All functionality degrades to clear ImportErrors when ROS is
 absent — ROS is robot middleware, never part of the TPU compute path.
 
-.. warning:: EXPERIMENTAL — this module cannot be exercised in this build
-   environment (no rospy/MoveIt) and has no test coverage; treat it as a
-   sketch of the integration surface, not verified parity.
+.. warning:: EXPERIMENTAL — no real rospy/MoveIt exists in this build
+   environment. The service-call plumbing is covered by mocked-transport
+   tests (tests/test_ros_interface.py); behavior against a live MoveIt
+   stack is unverified.
 """
 from __future__ import annotations
 

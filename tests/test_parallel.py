@@ -189,3 +189,41 @@ def test_distributed_e2e_fit_update_trajopt(mesh, key):
         n_waypoints=10, num_trials=8, maxiter=100)
     assert np.all(np.isfinite(np.asarray(sol)))
     assert float(cost) >= 0.0
+
+
+def test_distributed_fit_lazy_matches_single_device(mesh, key):
+    """The sharded lazy-row fit (no Gram anywhere, rows sharded over dp)
+    reproduces the dense single-device trainer."""
+    from diffco_tpu.parallel import distributed_fit_lazy
+    X = jax.random.normal(key, (64, 4))
+    y = jnp.sign(X[:, 0])
+    kern = kernels.RQKernel(5.0)
+
+    gains, hyp, it = distributed_fit_lazy(kern, X, y, mesh,
+                                          max_iteration=500)
+    K = kern(X, X)
+    g_ref, h_ref, it_ref = perceptron_train_loop(K, y, 1.0, 500)
+    assert int(it) == int(it_ref)
+    assert np.allclose(np.asarray(gains), np.asarray(g_ref), atol=1e-4)
+    assert np.allclose(np.asarray(hyp), np.asarray(h_ref), atol=1e-4)
+
+
+def test_distributed_fit_lazy_padding_and_warm_start(mesh, key):
+    """Odd N (padded to the mesh) + warm start from a previous support
+    set: padded rows stay inert and the warm-started fit converges."""
+    from diffco_tpu.parallel import distributed_fit_lazy
+    X = jax.random.normal(key, (61, 4))
+    y = jnp.sign(X[:, 0])
+    kern = kernels.RQKernel(5.0)
+    gains, hyp, it = distributed_fit_lazy(kern, X, y, mesh,
+                                          max_iteration=500)
+    K = kern(X, X)
+    g_ref, h_ref, it_ref = perceptron_train_loop(K, y, 1.0, 500)
+    assert np.allclose(np.asarray(gains), np.asarray(g_ref), atol=1e-4)
+
+    # warm start on the same data converges immediately-ish
+    g2, h2, it2 = distributed_fit_lazy(kern, X, y, mesh, max_iteration=500,
+                                       init_gains=gains)
+    assert int(it2) <= int(it)
+    acc = float(jnp.mean((h2 > 0) == (y > 0)))
+    assert acc > 0.8

@@ -186,3 +186,81 @@ def test_fit_full_poly(key):
     sc_all = np.asarray(clf.full_poly_score(q)).reshape(-1)
     acc = np.mean((sc_all > 0) == (np.asarray(labels) > 0))
     assert acc > 0.85
+
+
+def test_lazy_train_loop_matches_dense(key):
+    """perceptron_train_loop_lazy computes kernel rows on the fly via the
+    identical pairwise_sqdist expansion, so it must reproduce the dense
+    trainer's update sequence exactly."""
+    from diffco_tpu.perceptron import perceptron_train_loop_lazy
+    robot, obs, q, labels, dist = _dataset(key)
+    kf = kernels.RQKernel(10.0)
+    K = kf(q, q)
+    g_d, h_d, it_d = perceptron_train_loop(K, labels, 1.0, 2000)
+    g_l, h_l, it_l = perceptron_train_loop_lazy(q, labels, kf, 1.0, 2000)
+    assert int(it_d) == int(it_l)
+    assert np.allclose(np.asarray(g_d), np.asarray(g_l), atol=1e-4)
+    assert np.allclose(np.asarray(h_d), np.asarray(h_l), atol=1e-4)
+
+
+def test_lazy_multiclass_matches_dense(key):
+    from diffco_tpu.perceptron import (
+        multiclass_train_loop, multiclass_train_loop_lazy)
+    robot, obs, q, labels, dist = _dataset(key)
+    # two classes: collision-with-anything, and near-boundary band
+    y2 = jnp.stack([labels, (jnp.abs(dist) < 0.3) * 2.0 - 1.0], axis=1)
+    kf = kernels.RQKernel(10.0)
+    K = kf(q, q)
+    g_d, h_d, it_d = multiclass_train_loop(K, y2, 1.0, 2000, 2)
+    g_l, h_l, it_l = multiclass_train_loop_lazy(q, y2, kf, 1.0, 2000, 2)
+    assert int(it_d) == int(it_l)
+    # the dense loop reads the diagonal off the materialized Gram while the
+    # lazy loop computes k(x_i, x_i) directly — identical math up to fp32
+    # cancellation in the |x|^2+|y|^2-2xy expansion, so allow small drift
+    assert np.allclose(np.asarray(g_d), np.asarray(g_l), atol=2e-3)
+    assert np.allclose(np.asarray(h_d), np.asarray(h_l), atol=2e-3)
+
+
+def test_diffco_lazy_path_parity(key):
+    """DiffCo.train routes through the lazy trainer above the threshold and
+    produces the same support set / scores as the dense path."""
+    robot, obs, q, labels, dist = _dataset(key, n=600)
+    dense = DiffCo(kernel_func=kernels.RQKernel(10.0), beta=1.0)
+    dense.train(q, labels, max_iteration=3000, distance=dist)
+    lazy = DiffCo(kernel_func=kernels.RQKernel(10.0), beta=1.0)
+    lazy.lazy_gram_threshold = 0           # force the large-N path
+    lazy.train(q, labels, max_iteration=3000, distance=dist)
+    assert lazy.num_valid == dense.num_valid
+    assert np.allclose(np.asarray(lazy.support_points),
+                       np.asarray(dense.support_points), atol=1e-5)
+    assert np.allclose(np.asarray(lazy.kernel_matrix),
+                       np.asarray(dense.kernel_matrix), atol=1e-4)
+    qq = robot.rand_configs(64, jax.random.fold_in(key, 7))
+    assert np.allclose(np.asarray(lazy.score_original(qq)),
+                       np.asarray(dense.score_original(qq)), atol=1e-3)
+    # warm-start update through the lazy path
+    q2 = robot.rand_configs(200, jax.random.fold_in(key, 9))
+    sd2 = planar_robot_signed_dist(robot, obs, q2)
+    lab2 = (jnp.max(sd2, axis=-1) > 0) * 2.0 - 1.0
+    nv = lazy.num_valid
+    X_up = jnp.concatenate([lazy.support_points[:nv], q2], axis=0)
+    sd_s = planar_robot_signed_dist(robot, obs, lazy.support_points[:nv])
+    lab_s = (jnp.max(sd_s, axis=-1) > 0) * 2.0 - 1.0
+    y_up = jnp.concatenate([lab_s, lab2], axis=0)
+    mask = jnp.concatenate(
+        [jnp.ones(nv, bool), jnp.zeros(len(q2), bool)], axis=0)
+    lazy.train(X_up, y_up, update=True, exist_mask=mask, max_iteration=3000)
+    score = np.asarray(lazy.score_original(X_up)).reshape(-1)
+    assert np.mean((score > 0) == (np.asarray(y_up) > 0)) > 0.85
+
+
+def test_lazy_large_n_memory_smoke(key):
+    """A 20k-row training set never materializes the [N, N] Gram
+    (~1.6 GB); the lazy path trains it in O(N) memory."""
+    robot, obs, q, labels, dist = _dataset(key, n=20000)
+    clf = DiffCo(kernel_func=kernels.RQKernel(10.0), beta=1.0)
+    assert clf.lazy_gram_threshold < 20000
+    clf.train(q, labels, max_iteration=60000)  # converges ~21k iters / 10 s
+    score = np.asarray(clf.score_original(q)).reshape(-1)
+    acc = np.mean((score > 0) == (np.asarray(labels) > 0))
+    assert acc > 0.9

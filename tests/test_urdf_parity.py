@@ -183,3 +183,76 @@ def test_vendored_two_link_parses():
     q = robot.rand_configs(8, jax.random.PRNGKey(0))
     pts = robot.fkine(q)
     assert np.all(np.isfinite(np.asarray(pts)))
+
+
+def _vendored_fk_parity(urdf_name, n_cfg=20):
+    """Run the independent numpy-FK oracle against a vendored asset
+    (always available — no third-party mount needed)."""
+    from diffco_tpu import robot_data
+    robot_data.ensure_default_assets()
+    path = os.path.join(robot_data.data_dir, urdf_name)
+    robot = dc.URDFRobot(path, setup_acm=False)
+    _, joints, _, root = parse_urdf(path)
+    spec = robot.spec
+
+    rng = np.random.RandomState(0)
+    lims = np.asarray(robot.joint_limits)
+    qs = rng.uniform(lims[:, 0], lims[:, 1],
+                     (n_cfg, robot._n_dofs)).astype(np.float32)
+    rot, tr = robot.fk_poses(jnp.asarray(qs))
+    rot, tr = np.asarray(rot), np.asarray(tr)
+
+    dof_names = [''] * robot._n_dofs
+    for li in range(spec.n_links):
+        if spec.dof_idx[li] >= 0:
+            name = spec.joint_names[li]
+            j = next(jj for jj in joints if jj['name'] == name)
+            if j.get('mimic') is None:
+                dof_names[int(spec.dof_idx[li])] = name
+    for k in range(n_cfg):
+        q_map = {n: float(v) for n, v in zip(dof_names, qs[k]) if n}
+        want = _numpy_fk(joints, root, q_map)
+        for li, lname in enumerate(spec.link_names):
+            R_w, t_w = want[lname]
+            assert np.allclose(tr[k, li], t_w, rtol=1e-4, atol=1e-5), \
+                f'{urdf_name}:{lname} trans mismatch'
+            assert np.allclose(rot[k, li], R_w, rtol=1e-4, atol=1e-4), \
+                f'{urdf_name}:{lname} rot mismatch'
+    return robot
+
+
+def test_vendored_trifinger_branching_fk():
+    """Branching kinematic tree (3 fingers off one base): every link pose
+    must match the independent numpy oracle, and the three fingers must
+    move independently."""
+    robot = _vendored_fk_parity('trifinger_simple.urdf')
+    assert robot._n_dofs == 9
+    # moving finger 0's joints must not move finger 1/2 links
+    q0 = jnp.zeros((1, 9), jnp.float32)
+    q1 = q0.at[0, 0].set(0.7)
+    _, t0 = robot.fk_poses(q0)
+    _, t1 = robot.fk_poses(q1)
+    names = list(robot.spec.link_names)
+    moved = np.abs(np.asarray(t1) - np.asarray(t0)).max(axis=-1)[0]
+    for li, n in enumerate(names):
+        if n.startswith(('finger1', 'finger2')):
+            assert moved[li] < 1e-6, n
+    tip0 = names.index('finger0_link2')
+    assert moved[tip0] > 0.01
+
+
+def test_vendored_lift_prismatic_mimic_fk():
+    """Prismatic torso + mimic gripper: oracle parity plus explicit
+    mimic semantics (right finger tracks -1 * left finger)."""
+    robot = _vendored_fk_parity('lift_rig.urdf')
+    assert robot._n_dofs == 3   # torso, elbow, finger_l (finger_r mimics)
+    names = list(robot.spec.link_names)
+    il, ir = names.index('finger_l'), names.index('finger_r')
+    q = jnp.asarray([[0.2, 0.0, 0.03]], jnp.float32)
+    _, t = robot.fk_poses(q)
+    t = np.asarray(t)[0]
+    # torso lift moves everything up by q[0] + origins
+    assert np.isclose(t[il][2], t[ir][2], atol=1e-6)
+    # fingers displace symmetrically about the arm axis (y = +-(0.04+q))
+    assert np.isclose(t[il][1] + t[ir][1], 0.0, atol=1e-6)
+    assert np.isclose(t[il][1] - t[ir][1], 2 * (0.04 + 0.03), atol=1e-5)
