@@ -217,6 +217,48 @@ def load_pretrained_checker(checker, path: str):
     return checker
 
 
+def _checker_state_pytree(checker):
+    state = {
+        'support_points': checker.support_points,
+        'support_transformed': checker.support_transformed,
+        'gains': checker.gains,
+        'hypothesis': checker.hypothesis,
+        'y': checker.y,
+        'kernel_matrix': checker.kernel_matrix,
+        'rbf_nodes': checker.rbf_nodes,
+        'valid_mask': checker.valid_mask,
+        'num_valid': np.asarray(checker.num_valid),
+    }
+    if checker.distance is not None:
+        state['distance'] = checker.distance
+    return state
+
+
+def save_checker_orbax(checker, path: str):
+    """Orbax checkpoint of the checker state — the TPU-idiomatic
+    alternative to npz (save_pretrained_checker): async-capable, sharded
+    restore under a mesh, versioned directories. State is the same
+    arrays-only pytree."""
+    import orbax.checkpoint as ocp
+    import os
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), _checker_state_pytree(checker))
+
+
+def load_checker_orbax(checker, path: str):
+    """Restore checker state written by :func:`save_checker_orbax`."""
+    import orbax.checkpoint as ocp
+    import os
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(path))
+    for k, v in state.items():
+        if k == 'num_valid':
+            checker.num_valid = int(v)
+        else:
+            setattr(checker, k, jnp.asarray(v))
+    return checker
+
+
 def save_ompl_path(path_file: str, path, times=None):
     """Write a path as whitespace-separated rows (ref utils.py:302-311)."""
     arr = np.asarray(path)

@@ -9,8 +9,6 @@ for four formulations:
   xla          _poly_score_xla + JAX autodiff (round-1 default)
   xla_bf16     same, but the [B,S] distance matmul takes bf16 inputs with
                fp32 accumulation (halves MXU input bandwidth)
-  pallas_sep   _poly_score_pallas: separate fused fwd / bwd Pallas kernels
-               (custom VJP, [B,S] never hits HBM)
   pallas_fused polyharmonic_score_fused: ONE kernel pass emits score and
                dscore/dx; the VJP reuses the saved [B,F] gradient
 
@@ -65,15 +63,11 @@ def main():
             return jnp.dot(r, w.reshape(-1, 1),
                            preferred_element_type=jnp.float32)
 
-        def pallas_sep_score(pts):
-            return fs._poly_score_pallas(pts, sup, w)
-
         def pallas_fused_score(pts):
             return fs.polyharmonic_score_fused(pts, sup, w)
 
         variants = {'xla': xla_score, 'xla_bf16': xla_bf16_score}
         if backend == 'tpu':
-            variants['pallas_sep'] = pallas_sep_score
             variants['pallas_fused'] = pallas_fused_score
 
         for name, score_fn in variants.items():

@@ -92,6 +92,10 @@ def run_method(method, robot, obs, checker, start, target, options):
     if method == 'givengrad':
         return optim.givengrad_traj_optimize(robot, proxy_dist, start,
                                              target, options)
+    if method == 'trustconstr':
+        # gradient+Hessian scipy trust-constr (ref optim.py:324-516)
+        return optim.trustconstr_traj_optimize(robot, proxy_dist, start,
+                                               target, options)
     if method == 'gtgradfree':
         return optim.gradient_free_traj_optimize(robot, gt_dist, start,
                                                  target, options)

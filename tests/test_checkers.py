@@ -140,3 +140,29 @@ def test_checker_save_load(tmp_path):
     s1 = np.asarray(checker.perceptron.poly_score(q))
     s2 = np.asarray(fresh.poly_score(q))
     assert np.allclose(s1, s2, atol=1e-5)
+
+
+def test_checker_save_load_orbax(tmp_path):
+    """Orbax round trip reproduces poly_score exactly (TPU-idiomatic
+    checkpointing next to the npz path)."""
+    pytest.importorskip('orbax.checkpoint')
+    from diffco_tpu import routines
+    from diffco_tpu.robots import RevolutePlanarRobot
+    from diffco_tpu.geometry import Obstacles2D, planar_robot_collision
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([('circle', (1.6, 1.0), 0.7)])
+    checker = dc.RBFDiffCo(
+        robot=robot,
+        gt_check_func=lambda q: planar_robot_collision(robot, obs, q))
+    checker.fit(num_samples=800)
+    path = str(tmp_path / 'checker_orbax')
+    routines.save_checker_orbax(checker.perceptron, path)
+
+    fresh = dc.DiffCo(kernel_func=dc.kernel.RQKernel(10))
+    fresh.rbf_kernel = dc.kernel.Polyharmonic(1, 1)
+    routines.load_checker_orbax(fresh, path)
+    assert fresh.num_valid == checker.perceptron.num_valid
+    q = robot.rand_configs(64, jax.random.PRNGKey(5))
+    s1 = np.asarray(checker.perceptron.poly_score(q))
+    s2 = np.asarray(fresh.poly_score(q))
+    assert np.allclose(s1, s2, atol=1e-5)
