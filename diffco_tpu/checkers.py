@@ -71,6 +71,15 @@ class CollisionChecker:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _next_rng(self) -> np.random.Generator:
+        """Host-side RNG derived from the checker's key stream. The
+        active-update path assembles its (value-dependent-size) batches in
+        numpy: every jnp op whose shape depends on the support count would
+        recompile each update — ~1-2 s per tiny program over a remote TPU
+        backend, which dominated the measured steady-state update latency."""
+        return np.random.default_rng(
+            int(np.asarray(jax.random.key_data(self._next_key()))[-1]))
+
     def collision(self, q):
         return self.gt_check_func(q)
 
@@ -163,6 +172,9 @@ class RBFDiffCo(CollisionChecker):
         labels = (2 * labels - 1).astype(q.dtype)
 
         if 0 < verify_ratio < 1:
+            # split on the HOST: the permutation/nonzero/gather sizes all
+            # depend on the support count and would recompile per update
+            rng = self._next_rng()
             num_verify = int(verify_ratio * num_samples)
             if update and exist_mask is not None:
                 # existing supports must all stay in the training split —
@@ -170,22 +182,24 @@ class RBFDiffCo(CollisionChecker):
                 # verify set from non-support rows with an EXACT count so
                 # the training shape is identical across updates (a varying
                 # shape would recompile the training program every step).
-                exist_mask = jnp.asarray(exist_mask)
                 non_exist = np.where(~np.asarray(exist_mask))[0]
                 num_verify = min(num_verify, len(non_exist))
-                sel = jax.random.permutation(
-                    self._next_key(), len(non_exist))[:num_verify]
-                verify_idx = jnp.asarray(non_exist)[sel]
+                verify_idx = non_exist[
+                    rng.permutation(len(non_exist))[:num_verify]]
             else:
-                perm = jax.random.permutation(self._next_key(), num_samples)
-                verify_idx = perm[:num_verify]
-            verify_mask = jnp.zeros(num_samples, bool).at[verify_idx].set(True)
-            q_train, q_verify = q[~verify_mask], q[verify_mask]
-            labels_train = labels[~verify_mask]
-            labels_verify = labels[verify_mask]
-            dists_train = dists[~verify_mask]
+                verify_idx = rng.permutation(num_samples)[:num_verify]
+            verify_mask = np.zeros(num_samples, bool)
+            verify_mask[verify_idx] = True
+            q_np = np.asarray(q)
+            labels_np = np.asarray(labels)
+            dists_np = np.asarray(dists)
+            q_train = jnp.asarray(q_np[~verify_mask])
+            q_verify = jnp.asarray(q_np[verify_mask])
+            labels_train = jnp.asarray(labels_np[~verify_mask])
+            labels_verify = jnp.asarray(labels_np[verify_mask])
+            dists_train = jnp.asarray(dists_np[~verify_mask])
             if update and exist_mask is not None:
-                exist_mask = exist_mask[~verify_mask]
+                exist_mask = np.asarray(exist_mask)[~verify_mask]
         elif verify_ratio:
             raise ValueError(
                 f'verify_ratio should be in (0, 1), got {verify_ratio}')
@@ -232,37 +246,37 @@ class RBFDiffCo(CollisionChecker):
         verify_ratio = 0.1 if verify is True else float(verify)
         exist_mask = None
         if q is None:
+            # All assembly here runs in HOST numpy: every intermediate's
+            # shape depends on the (changing) support count, and on-device
+            # versions recompiled ~10 tiny programs per update — measured
+            # at ~2/3 of the 20 s steady-state update latency.
+            rng = self._next_rng()
             nv = self.perceptron.num_valid
-            supports = self.perceptron.support_points[:nv]
+            supports = np.asarray(self.perceptron.support_points[:nv])
             dof = supports.shape[-1]
             if n_exploit > nv:
-                mul = -(-n_exploit // nv)
-                sel = supports
+                reps = -(-n_exploit // nv)
+                centers = np.tile(supports, (reps, 1))[:n_exploit]
             else:
-                mul = 1
-                perm = jax.random.permutation(self._next_key(), nv)
-                sel = supports[perm[:n_exploit]]
-            noise = jax.random.normal(
-                self._next_key(), (mul, sel.shape[0], dof)) * exploit_std
-            exploit = sel[None] + noise
-            lims = self.robot.joint_limits
-            # exactly n_exploit rows: mul * nv varies with the support
-            # count and a drifting batch shape would recompile training
-            exploit = jnp.clip(exploit.reshape(-1, dof),
-                               lims[:, 0], lims[:, 1])[:n_exploit]
+                centers = supports[rng.permutation(nv)[:n_exploit]]
+            lims = np.asarray(self.robot.joint_limits)
+            exploit = np.clip(
+                centers + rng.normal(size=centers.shape) * exploit_std,
+                lims[:, 0], lims[:, 1])
             # bucket the total to a multiple of 256 by drawing extra explore
             # samples: the support count changes every update, and a fresh
             # dataset shape would force the TPU to recompile the training
             # program each step (~1 min) — padding with more uniform samples
             # is free and keeps shapes stable across updates
-            base_total = exploit.shape[0] + n_explore + supports.shape[0]
+            base_total = exploit.shape[0] + n_explore + nv
             bucket = -(-base_total // 256) * 256
             n_explore_padded = n_explore + (bucket - base_total)
-            explore = self.robot.rand_configs(n_explore_padded,
-                                              self._next_key())
-            q = jnp.concatenate([exploit, explore, supports], axis=0)
-            exist_mask = jnp.zeros(q.shape[0], bool).at[
-                -supports.shape[0]:].set(True)
+            explore = rng.uniform(lims[:, 0], lims[:, 1],
+                                  (n_explore_padded, dof))
+            q = jnp.asarray(np.concatenate(
+                [exploit, explore, supports], axis=0), jnp.float32)
+            exist_mask = np.zeros(q.shape[0], bool)
+            exist_mask[-nv:] = True
         return self.fit(q, labels, dists, update=True,
                         exist_mask=exist_mask, verify_ratio=verify_ratio,
                         verbose=verbose)

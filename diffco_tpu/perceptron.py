@@ -437,23 +437,26 @@ class DiffCo(Perceptron):
         init_gains = init_hyp = None
         if update and self.gains is not None:
             assert exist_mask is not None, 'update=True requires exist_mask'
-            exist_mask = jnp.asarray(exist_mask)
-            # seed gains at previous supports; hypothesis = K @ gains exactly
-            prev = jnp.zeros(X.shape[0], Xt.dtype)
-            exist_idx = jnp.nonzero(
-                exist_mask, size=int(self.num_valid),
-                fill_value=X.shape[0] - 1)[0]
-            valid_gains = jnp.where(self.valid_mask, self.gains, 0.0)
-            prev = prev.at[exist_idx].set(valid_gains[:int(self.num_valid)])
-            init_gains = prev
+            # seed gains at previous supports (HOST-side scatter: the index
+            # count tracks num_valid which changes every update — on-device
+            # it would recompile a tiny program per update);
+            # hypothesis = K @ gains exactly
+            em = np.asarray(exist_mask)
+            exist_idx = np.where(em)[0]
+            vg = np.asarray(self.gains) * np.asarray(self.valid_mask)
+            prev = np.zeros(X.shape[0], np.float32)
+            prev[exist_idx] = vg[:len(exist_idx)]
+            init_gains = jnp.asarray(prev)
             if lazy:
-                # K @ prev with prev supported on exist_idx only: an
-                # [N, S] cross-Gram against the seeded rows suffices
+                # K @ prev with prev supported on the previous supports
+                # only: an [N, S] cross-Gram suffices. Use the FULL padded
+                # support buffer (static shape across updates; padded rows
+                # carry zero gain) so this compiles once.
                 init_hyp = jnp.matmul(
-                    self.kernel_func(Xt, Xt[exist_idx]),
-                    prev[exist_idx], precision='highest')
+                    self.kernel_func(Xt, self.support_transformed),
+                    jnp.asarray(vg), precision='highest')
             else:
-                init_hyp = jnp.matmul(K, prev, precision='highest')
+                init_hyp = jnp.matmul(K, init_gains, precision='highest')
 
         if lazy:
             gains, hyp, it = perceptron_train_loop_lazy(
@@ -698,20 +701,20 @@ class MultiDiffCo(DiffCo):
         init_gains = init_hyp = None
         if update and self.gains is not None:
             assert exist_mask is not None
-            exist_mask = jnp.asarray(exist_mask)
-            prev = jnp.zeros((X.shape[0], self.num_class), Xt.dtype)
-            exist_idx = jnp.nonzero(
-                exist_mask, size=int(self.num_valid),
-                fill_value=X.shape[0] - 1)[0]
-            valid_gains = jnp.where(self.valid_mask[:, None], self.gains, 0.0)
-            prev = prev.at[exist_idx].set(valid_gains[:int(self.num_valid)])
-            init_gains = prev
+            # host-side scatter; see DiffCo.train
+            em = np.asarray(exist_mask)
+            exist_idx = np.where(em)[0]
+            vg = (np.asarray(self.gains)
+                  * np.asarray(self.valid_mask)[:, None])
+            prev = np.zeros((X.shape[0], self.num_class), np.float32)
+            prev[exist_idx] = vg[:len(exist_idx)]
+            init_gains = jnp.asarray(prev)
             if lazy:
                 init_hyp = jnp.matmul(
-                    self.kernel_func(Xt, Xt[exist_idx]),
-                    prev[exist_idx], precision='highest')
+                    self.kernel_func(Xt, self.support_transformed),
+                    jnp.asarray(vg), precision='highest')
             else:
-                init_hyp = jnp.matmul(K, prev, precision='highest')
+                init_hyp = jnp.matmul(K, init_gains, precision='highest')
 
         if lazy:
             gains, hyp, it = multiclass_train_loop_lazy(
@@ -896,16 +899,16 @@ class MultiDimDiffCo(Perceptron):
             # gains at the previous-support rows; hypothesis follows as
             # h_i = sum_j K[i, j, :] . g_j exactly by construction
             assert exist_mask is not None, 'update=True requires exist_mask'
-            exist_mask = jnp.asarray(exist_mask)
+            # host-side scatter; see DiffCo.train
+            em = np.asarray(exist_mask)
+            exist_idx = np.where(em)[0]
             C = self.gains.shape[1]
-            prev = jnp.zeros((X.shape[0], C), K.dtype)
-            exist_idx = jnp.nonzero(
-                exist_mask, size=int(self.num_valid),
-                fill_value=X.shape[0] - 1)[0]
-            valid_gains = jnp.where(self.valid_mask[:, None], self.gains, 0.0)
-            prev = prev.at[exist_idx].set(valid_gains[:int(self.num_valid)])
-            init_gains = prev
-            init_hyp = jnp.sum(K * prev[None, :, :], axis=(1, 2))
+            vg = (np.asarray(self.gains)
+                  * np.asarray(self.valid_mask)[:, None])
+            prev = np.zeros((X.shape[0], C), np.float32)
+            prev[exist_idx] = vg[:len(exist_idx)]
+            init_gains = jnp.asarray(prev)
+            init_hyp = jnp.sum(K * init_gains[None, :, :], axis=(1, 2))
         elif update:
             raise ValueError('update=True requires a previously trained '
                              'MultiDimDiffCo (no gains present)')
