@@ -576,6 +576,14 @@ class DiffCo(Perceptron):
         else:
             tp = jnp.asarray(transformed_point)
             pt = tp.reshape(tp.shape[0], -1)
+        if (isinstance(self.rbf_kernel, Polyharmonic)
+                and self.rbf_kernel.k == 1):
+            # the serving default (linear polyharmonic): route through the
+            # fused-capable op — picks the Pallas kernel at large batch
+            from .ops.fused_score import polyharmonic_score
+            return polyharmonic_score(pt, self.support_transformed,
+                                      self.rbf_nodes, self.valid_mask,
+                                      epsilon=self.rbf_kernel.epsilon)
         kv = self.rbf_kernel(pt, self.support_transformed)
         kv = kv * self.valid_mask.astype(kv.dtype)[None, :]
         return jnp.matmul(kv, self.rbf_nodes.reshape(-1, 1),
