@@ -335,8 +335,13 @@ def extract_supports(gains: jnp.ndarray, S: int):
     flat = jnp.abs(gains) if gains.ndim == 1 else jnp.abs(gains).sum(axis=1)
     count = jnp.sum(flat != 0)
     order = jnp.argsort(-flat)
+    if S > order.shape[0]:
+        # pad slots beyond the dataset (S can exceed N under pad-size
+        # hysteresis); they are masked invalid below
+        order = jnp.concatenate(
+            [order, jnp.full(S - order.shape[0], order[-1], order.dtype)])
     idx = order[:S]
-    num_valid = jnp.clip(count, 2, S)
+    num_valid = jnp.clip(count, 2, jnp.minimum(S, flat.shape[0]))
     valid = jnp.arange(S) < num_valid
     return idx, valid, num_valid
 
@@ -409,8 +414,15 @@ class DiffCo(Perceptron):
     def _pad_size(self, count: int) -> int:
         if self.max_num_supports is not None:
             return self.max_num_supports
-        # auto: next multiple of 128 (MXU lane width) >= count
-        return max(128, int(np.ceil(count / 128.0)) * 128)
+        # auto: next multiple of 128 (MXU lane width) >= count, with
+        # HYSTERESIS — never shrink below a previously used pad size.
+        # Active-learning support counts hover around pad boundaries; a
+        # shrink-regrow cycle would recompile every S-shaped program
+        # (solve, scores, trajopt) per flip, measured at 12-80 s spikes
+        size = max(128, int(np.ceil(count / 128.0)) * 128)
+        prev = (0 if self.support_points is None
+                else self.support_points.shape[0])
+        return max(size, prev)
 
     @property
     def valid_supports(self):

@@ -264,3 +264,23 @@ def test_lazy_large_n_memory_smoke(key):
     score = np.asarray(clf.score_original(q)).reshape(-1)
     acc = np.mean((score > 0) == (np.asarray(labels) > 0))
     assert acc > 0.9
+
+
+def test_pad_size_hysteresis(key):
+    """The auto pad size never shrinks once grown: support counts that
+    hover around a 128-slot boundary must not flip the padded shape (a
+    flip recompiles every S-shaped program downstream)."""
+    robot, obs, q, labels, dist = _dataset(key, n=600)
+    clf = DiffCo(kernel_func=kernels.RQKernel(10.0), beta=1.0)
+    clf.train(q, labels, max_iteration=3000)
+    S0 = clf.support_points.shape[0]
+    # retrain on a tiny subset -> far fewer supports, same pad size
+    clf2_count_pad = clf._pad_size(2)
+    assert clf2_count_pad == S0
+    clf.train(q[:100], labels[:100], max_iteration=500)
+    assert clf.support_points.shape[0] == S0
+    # explicit max_num_supports still wins
+    capped = DiffCo(kernel_func=kernels.RQKernel(10.0), beta=1.0,
+                    max_num_supports=256)
+    capped.train(q, labels, max_iteration=3000)
+    assert capped.support_points.shape[0] == 256
