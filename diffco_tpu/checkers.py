@@ -267,9 +267,14 @@ class RBFDiffCo(CollisionChecker):
             # samples: the support count changes every update, and a fresh
             # dataset shape would force the TPU to recompile the training
             # program each step (~1 min) — padding with more uniform samples
-            # is free and keeps shapes stable across updates
+            # is free and keeps shapes stable across updates. Bucket on the
+            # PADDED support size (stable under pad hysteresis), not the
+            # live count: nv crossing a bucket boundary (e.g. 168 at
+            # 600 + nv) otherwise flips the dataset shape mid-run — a
+            # measured ~57 s recompile spike of the eager labeling chain
             base_total = exploit.shape[0] + n_explore + nv
-            bucket = -(-base_total // 256) * 256
+            s_pad = self.perceptron.support_points.shape[0]
+            bucket = -(-(exploit.shape[0] + n_explore + s_pad) // 256) * 256
             n_explore_padded = n_explore + (bucket - base_total)
             explore = rng.uniform(lims[:, 0], lims[:, 1],
                                   (n_explore_padded, dof))
