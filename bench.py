@@ -25,17 +25,18 @@ def _jax_throughput(batch=65536, n_supports=512, n_inner=50, reps=4):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_score_setup
-    from diffco_tpu.ops.fused_score import polyharmonic_score
+    from diffco_tpu.ops.fk_score import dh_polyharmonic_score_auto
 
     robot, sup, w = _flagship_score_setup(n_supports=n_supports)
 
     @jax.jit
     def loop(q):
         def total(qq):
-            # routes through the fused transposed bf16 Pallas kernel on
-            # TPU at this batch size (benchmarks/fused_ab.json)
-            pts = robot.fkine(qq, flat=True)
-            return polyharmonic_score(pts, sup, w).sum()
+            # one Pallas kernel per tile: FK + score + config gradient
+            # (benchmarks/fused_ab.json; FK/backward split measured in
+            # benchmarks/RESULTS.md) — falls back to FK + fused score at
+            # small batch or off-TPU
+            return dh_polyharmonic_score_auto(qq, robot, sup, w).sum()
 
         def step(qq, _):
             v, g = jax.value_and_grad(total)(qq)

@@ -582,14 +582,26 @@ class DiffCo(Perceptron):
 
     def poly_score(self, point=None, transformed_point=None):
         """Smooth surrogate score (ref :309-319). Returns [B, 1]."""
+        is_poly1 = (isinstance(self.rbf_kernel, Polyharmonic)
+                    and self.rbf_kernel.k == 1)
         if transformed_point is None:
             point = jnp.atleast_2d(jnp.asarray(point))
+            if is_poly1:
+                # FK-transformed checker on a DH robot: one Pallas kernel
+                # does FK + score + config-gradient per batch tile
+                robot = getattr(self.transform, '__self__', None)
+                if (robot is not None
+                        and getattr(robot, 'fkine', None) == self.transform):
+                    from .ops.fk_score import dh_polyharmonic_score_auto
+                    return dh_polyharmonic_score_auto(
+                        point, robot, self.support_transformed,
+                        self.rbf_nodes, self.valid_mask,
+                        epsilon=self.rbf_kernel.epsilon)
             pt = self._apply_transform(point)
         else:
             tp = jnp.asarray(transformed_point)
             pt = tp.reshape(tp.shape[0], -1)
-        if (isinstance(self.rbf_kernel, Polyharmonic)
-                and self.rbf_kernel.k == 1):
+        if is_poly1:
             # the serving default (linear polyharmonic): route through the
             # fused-capable op — picks the Pallas kernel at large batch
             from .ops.fused_score import polyharmonic_score

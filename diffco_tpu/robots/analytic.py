@@ -25,6 +25,7 @@ from ..utils import wrap2pi, rot_2d, euler2mat, DH2mat, matmul_f32
 from .soa import (
     vec_add, transform_compose, dh_rot_trans, rot_from_static,
     stack_points)
+from .fk_jvp import make_dh_fkine
 
 PI = math.pi
 
@@ -190,6 +191,17 @@ class DHChainRobot(Model):
                 np.asarray(dhparams.a), np.asarray(dhparams.d),
                 np.asarray(dhparams.s_alpha), np.asarray(dhparams.c_alpha),
                 np.asarray(dhparams.theta))]
+        self._point_specs = tuple(
+            (i + 1, (0.0, 0.0, 0.0))
+            for i, masked in enumerate(self.fk_mask) if masked)
+        self._fkine_flat = make_dh_fkine(
+            self._dh_const, self._point_specs, base=self._base_soa())
+
+    def _base_soa(self):
+        if self.base is None:
+            return None
+        return (rot_from_static(self.base[:3, :3]),
+                tuple(float(v) for v in self.base[:3, 3]))
 
     def _fk_frames_soa(self, q):
         """Cumulative frames as SoA (rot 9-tuple, trans 3-tuple of [B])."""
@@ -227,6 +239,15 @@ class DHChainRobot(Model):
         return jnp.stack(cum, axis=1)
 
     def fkine(self, q, flat: bool = False):
+        q = jnp.reshape(q, (-1, self.dof))
+        out = self._fkine_flat(q)
+        if flat:
+            return out
+        return out.reshape(q.shape[0], -1, 3)
+
+    def _fkine_soa_autodiff(self, q, flat: bool = False):
+        """Plain-autodiff SoA FK (no analytic JVP) — the parity oracle for
+        fk_jvp.make_dh_fkine in tests/test_robots.py."""
         frames = self._fk_frames_soa(q)
         pts = [t for i, (r, t) in enumerate(frames) if self.fk_mask[i]]
         return stack_points(pts, flat=flat)
@@ -296,32 +317,32 @@ class BaxterDualArmFK(Model):
         right[:3, :3] = np.asarray(_rotz(jnp.asarray(-3 * PI / 4)))
         right[:, 3] = [-offsets[0], -offsets[1], offsets[2], 1]
         self.arm_bases = jnp.asarray(np.stack([left, right]))  # [2, 4, 4]
+        consts = [(float(a), float(d), float(sa), float(ca), float(th))
+                  for a, d, sa, ca, th in zip(
+                      np.asarray(self.dh.a), np.asarray(self.dh.d),
+                      np.asarray(self.dh.s_alpha), np.asarray(self.dh.c_alpha),
+                      np.asarray(self.dh.theta))]
+        specs = tuple((i + 1, (0.0, 0.0, 0.0))
+                      for i, m in enumerate(self.fk_mask) if m)
+        bases = np.asarray(self.arm_bases)
+        self._arm_fkine = [
+            make_dh_fkine(consts, specs,
+                          base=(rot_from_static(b[:3, :3]),
+                                tuple(float(v) for v in b[:3, 3])))
+            for b in bases]
 
     def fkine(self, q, flat: bool = False):
         q = jnp.reshape(q, (-1, self.dof))
         half = self.dof // 2
-        bases = np.asarray(self.arm_bases)
-        dh = self.dh
-        consts = [(float(a), float(d), float(sa), float(ca), float(th))
-                  for a, d, sa, ca, th in zip(
-                      np.asarray(dh.a), np.asarray(dh.d),
-                      np.asarray(dh.s_alpha), np.asarray(dh.c_alpha),
-                      np.asarray(dh.theta))]
-        zb = jnp.zeros(q.shape[0], q.dtype)
-        pts = []  # interleaved (left_i, right_i) per masked joint
-        for arm, q_arm in ((0, q[:, :half]), (1, q[:, half:])):
-            r_acc = tuple(zb + v for v in rot_from_static(
-                bases[arm][:3, :3]))
-            t_acc = tuple(zb + float(v) for v in bases[arm][:3, 3])
-            arm_pts = []
-            for i, (a, d, sa, ca, th) in enumerate(consts):
-                r_j, t_j = dh_rot_trans(q_arm[:, i] + th, a, d, sa, ca)
-                r_acc, t_acc = transform_compose(r_acc, t_acc, r_j, t_j)
-                if self.fk_mask[i]:
-                    arm_pts.append(t_acc)
-            pts.append(arm_pts)
-        interleaved = [p for pair in zip(pts[0], pts[1]) for p in pair]
-        return stack_points(interleaved, flat=flat)
+        B = q.shape[0]
+        left = self._arm_fkine[0](q[:, :half]).reshape(B, -1, 3)
+        right = self._arm_fkine[1](q[:, half:]).reshape(B, -1, 3)
+        # interleave (left_i, right_i) per masked joint, matching the
+        # reference's stack order (model.py:375-382)
+        inter = jnp.stack([left, right], axis=2).reshape(B, -1, 3)
+        if flat:
+            return inter.reshape(B, -1)
+        return inter
 
     def wrap(self, q):
         return wrap2pi(q)
@@ -351,11 +372,17 @@ class PandaFK(DHChainRobot):
             theta=[0, 0, 0, 0, 0, 0, 0])
         super().__init__(dh, _PANDA_LIMITS,
                          fk_mask=[True, False, True, True, True, False, True])
+        # two finger control points offset +-d[-1]/2 along ee-frame y
+        fy = 0.5 * float(np.asarray(dh.d)[-1])
+        n = len(self._dh_const)
+        self._point_specs = self._point_specs + (
+            (n, (0.0, fy, 0.0)), (n, (0.0, -fy, 0.0)))
+        self._fkine_flat = make_dh_fkine(
+            self._dh_const, self._point_specs, base=self._base_soa())
 
-    def fkine(self, q, flat: bool = False):
+    def _fkine_soa_autodiff(self, q, flat: bool = False):
         frames = self._fk_frames_soa(q)
         pts = [t for i, (r, t) in enumerate(frames) if self.fk_mask[i]]
-        # two finger control points offset +-d[-1]/2 along ee-frame y
         r_ee, t_ee = frames[-1]
         fy = 0.5 * float(np.asarray(self.dhparams.d)[-1])
         y_col = (r_ee[1], r_ee[4], r_ee[7])  # ee-frame y axis in world

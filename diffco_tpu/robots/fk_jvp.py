@@ -1,0 +1,130 @@
+"""Analytic geometric-Jacobian JVP for batched DH-chain FK.
+
+The XLA-autodiff backward of the 7-joint SoA compose chain costs ~2.2x
+the forward (measured 0.53 vs 0.24 ms/step at B=65536 on a v5e: the
+transpose of every 27-FMA rotation compose materializes full rotation
+cotangents). For a revolute chain the derivative has the classic
+closed form (the geometric Jacobian; cf. the reference's reliance on
+torch autograd through model.py:225-241 — no analytic form exists
+there)::
+
+    dp/dtheta_j = z_j x (p - o_j)
+
+where ``z_j``/``o_j`` are the world axis/origin of joint j *before* its
+rotation and ``p`` is any world point rigidly attached downstream. The
+JVP therefore factors through per-joint prefix sums::
+
+    dp_k = W_{f(k)} x p_k - V_{f(k)}
+    W_f  = sum_{j <= f} dtheta_j z_j
+    V_f  = sum_{j <= f} dtheta_j (z_j x o_j)
+
+(``f(k)`` = the frame point k is attached to). This is ~550 FLOP per
+configuration, and its linear transpose — which JAX derives
+automatically — is the matching suffix-sum backward.
+
+``custom_jvp`` (not ``custom_vjp``) keeps fkine differentiable to all
+orders: ``jax.hessian`` (trust-constr constraint Hessians,
+optim.py:633) and ``vmap(jacfwd)`` (manifold sampler, sampler.py:106)
+both still work, because the JVP rule itself is built from
+differentiable primitives.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .soa import dh_rot_trans, transform_compose, stack_points
+
+_ZERO3 = (0.0, 0.0, 0.0)
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def make_dh_fkine(dh_const: Sequence[Tuple[float, float, float, float, float]],
+                  point_specs: Sequence[Tuple[int, Tuple[float, float, float]]],
+                  base: Optional[Tuple[Tuple, Tuple]] = None):
+    """Build a flat-output DH-chain FK ``q [B, J] -> pts [B, 3 * P]`` with
+    an analytic geometric-Jacobian JVP.
+
+    dh_const: per-joint ``(a, d, sin_alpha, cos_alpha, theta_offset)``
+        static floats (standard DH, revolute about the previous frame's
+        z axis — the only joint type the analytic robots use).
+    point_specs: ``(frame_idx, (ox, oy, oz))`` per control point —
+        1-based frame index in chain order (must be non-decreasing) and
+        a static offset expressed in that frame. ``(0, 0, 0)`` is the
+        frame origin itself.
+    base: optional static base transform as
+        ``(rot 9-tuple floats, trans 3-tuple floats)``.
+    """
+    dh_const = tuple(tuple(float(v) for v in row) for row in dh_const)
+    point_specs = tuple((int(fi), tuple(float(v) for v in off))
+                        for fi, off in point_specs)
+    n_joints = len(dh_const)
+    frame_ids = [fi for fi, _ in point_specs]
+    assert frame_ids == sorted(frame_ids), 'points must follow chain order'
+    assert all(1 <= fi <= n_joints for fi in frame_ids)
+
+    if base is None:
+        base_rot = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        base_trans = _ZERO3
+    else:
+        base_rot = tuple(float(v) for v in base[0])
+        base_trans = tuple(float(v) for v in base[1])
+
+    def _chain(q):
+        """Per-joint (axis, origin) + world control points, all SoA."""
+        r_acc, t_acc = base_rot, base_trans
+        axes = []
+        frames = []
+        for i, (a, d, sa, ca, th) in enumerate(dh_const):
+            axes.append(((r_acc[2], r_acc[5], r_acc[8]), t_acc))
+            r_j, t_j = dh_rot_trans(q[:, i] + th, a, d, sa, ca)
+            r_acc, t_acc = transform_compose(r_acc, t_acc, r_j, t_j)
+            frames.append((r_acc, t_acc))
+        pts = []
+        for fi, (ox, oy, oz) in point_specs:
+            r, t = frames[fi - 1]
+            if (ox, oy, oz) == _ZERO3:
+                pts.append(t)
+            else:
+                pts.append((t[0] + r[0] * ox + r[1] * oy + r[2] * oz,
+                            t[1] + r[3] * ox + r[4] * oy + r[5] * oz,
+                            t[2] + r[6] * ox + r[7] * oy + r[8] * oz))
+        return axes, pts
+
+    @jax.custom_jvp
+    def fkine_flat(q):
+        _, pts = _chain(q)
+        return stack_points(pts, flat=True)
+
+    @fkine_flat.defjvp
+    def _fkine_jvp(primals, tangents):
+        (q,), (dq,) = primals, tangents
+        axes, pts = _chain(q)
+        out = stack_points(pts, flat=True)
+        zero = jnp.zeros_like(q[:, 0])
+        w = (zero, zero, zero)          # sum dtheta_j z_j
+        v = (zero, zero, zero)          # sum dtheta_j (z_j x o_j)
+        prefix = []
+        for j in range(n_joints):
+            z_j, o_j = axes[j]
+            dqj = dq[:, j]
+            cx, cy, cz = _cross(z_j, o_j)
+            w = (w[0] + dqj * z_j[0], w[1] + dqj * z_j[1],
+                 w[2] + dqj * z_j[2])
+            v = (v[0] + dqj * cx, v[1] + dqj * cy, v[2] + dqj * cz)
+            prefix.append((w, v))
+        dcols = []
+        for k, (fi, _) in enumerate(point_specs):
+            w, v = prefix[fi - 1]
+            dx, dy, dz = _cross(w, pts[k])
+            dcols.extend((dx - v[0], dy - v[1], dz - v[2]))
+        return out, jnp.stack(dcols, axis=-1)
+
+    return fkine_flat

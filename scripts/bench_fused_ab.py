@@ -11,6 +11,10 @@ for four formulations:
                fp32 accumulation (halves MXU input bandwidth)
   pallas_fused polyharmonic_score_fused: ONE kernel pass emits score and
                dscore/dx; the VJP reuses the saved [B,F] gradient
+  pallas_fk    dh_polyharmonic_score: the FK chain itself moves into the
+               kernel (ops/fk_score.py) — FK forward, score, point
+               gradient AND the geometric-Jacobian configuration
+               gradient per batch tile; q [B, 7] in, dq [B, 7] out
 
 Usage: python scripts/bench_fused_ab.py [--quick]
 """
@@ -66,14 +70,25 @@ def main():
         def pallas_fused_score(pts):
             return fs.polyharmonic_score_fused(pts, sup, w)
 
+        from diffco_tpu.ops import fk_score as fks
+        spec = fks.robot_spec(robot)
+
+        def pallas_fk_score_q(qq):
+            return fks.dh_polyharmonic_score(qq, sup, w, spec)
+
         variants = {'xla': xla_score, 'xla_bf16': xla_bf16_score}
         if backend == 'tpu':
             variants['pallas_fused'] = pallas_fused_score
+            variants['pallas_fk'] = pallas_fk_score_q
 
         for name, score_fn in variants.items():
+            takes_q = name == 'pallas_fk'
+
             @jax.jit
-            def loop(q, _fn=score_fn):
+            def loop(q, _fn=score_fn, _takes_q=takes_q):
                 def total(qq):
+                    if _takes_q:
+                        return _fn(qq).sum()
                     pts = robot.fkine(qq, flat=True)
                     return _fn(pts).sum()
 

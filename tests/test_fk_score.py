@@ -1,0 +1,135 @@
+"""Parity tests for the fully-fused DH-FK + score + gradient kernel
+(ops/fk_score.py) and the analytic FK JVP (robots/fk_jvp.py).
+
+Kernel bodies run through the Pallas interpreter on CPU
+(DIFFCO_PALLAS_INTERPRET=1) so the exact production kernel code is
+exercised; the on-TPU timing lives in benchmarks/RESULTS.md.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffco_tpu.ops import fk_score
+from diffco_tpu.ops.fused_score import _poly_score_xla
+from diffco_tpu.robots import (PandaFK, BaxterLeftArmFK, BaxterDualArmFK,
+                               DualPandaFK)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv('DIFFCO_PALLAS_INTERPRET', '1')
+
+
+def _setup(robot, key, S=64, B=192):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q_sup = robot.rand_configs(S, k1)
+    sup = robot.fkine(q_sup).reshape(S, -1)
+    w = jax.random.normal(k2, (S,)) * 0.05
+    q = robot.rand_configs(B, k3)
+    return sup, w, q
+
+
+@pytest.mark.parametrize('robot_cls', [PandaFK, BaxterLeftArmFK])
+def test_fused_fk_score_matches_xla_fp32(robot_cls, key):
+    robot = robot_cls()
+    sup, w, q = _setup(robot, key)
+    spec = fk_score.robot_spec(robot)
+    score, dq = fk_score._dh_score_grad_pallas(q, sup, w, spec,
+                                               use_bf16=False)
+    pts = robot.fkine(q, flat=True)
+    ref = _poly_score_xla(pts, sup, w).reshape(-1)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    ref_grad = jax.grad(
+        lambda qq: _poly_score_xla(robot.fkine(qq, flat=True),
+                                   sup, w).sum())(q)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(ref_grad),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_custom_vjp_route(key):
+    """dh_polyharmonic_score: value + VJP both come from the one fused
+    pass (bf16 production precision)."""
+    robot = PandaFK()
+    sup, w, q = _setup(robot, key)
+    spec = fk_score.robot_spec(robot)
+
+    def total(qq):
+        return fk_score.dh_polyharmonic_score(qq, sup, w, spec).sum()
+
+    v, g = jax.value_and_grad(total)(q)
+    ref_v = _poly_score_xla(robot.fkine(q, flat=True), sup, w).sum()
+    ref_g = jax.grad(
+        lambda qq: _poly_score_xla(robot.fkine(qq, flat=True),
+                                   sup, w).sum())(q)
+    assert abs(float(v) - float(ref_v)) / abs(float(ref_v)) < 2e-2
+    denom = np.abs(np.asarray(ref_g)).max()
+    assert np.abs(np.asarray(g) - np.asarray(ref_g)).max() / denom < 5e-2
+
+
+def test_auto_router_fallback_matches(key):
+    """Off-TPU / small batch the auto router must reproduce the
+    FK + fused-score path bit-for-bit (it IS that path)."""
+    robot = PandaFK()
+    sup, w, q = _setup(robot, key, B=32)
+    out = fk_score.dh_polyharmonic_score_auto(q, robot, sup, w)
+    ref = _poly_score_xla(robot.fkine(q, flat=True), sup, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+# -- analytic FK JVP (robots/fk_jvp.py) ------------------------------------
+
+
+@pytest.mark.parametrize('robot_cls', [PandaFK, BaxterLeftArmFK,
+                                       BaxterDualArmFK, DualPandaFK])
+def test_fk_jvp_grad_matches_autodiff(robot_cls, key):
+    robot = robot_cls()
+    q = robot.rand_configs(16, key)
+
+    def loss_new(qq):
+        p = robot.fkine(qq)
+        return jnp.sum(jnp.sin(p) * jnp.cos(0.7 * p))
+
+    g_new = jax.grad(loss_new)(q)
+    # numeric oracle (independent of both AD paths)
+    eps = 1e-4
+    q_np = np.asarray(q, np.float64)
+    g_num = np.zeros_like(q_np)
+    for j in range(q.shape[1]):
+        qp = q_np.copy(); qp[:, j] += eps
+        qm = q_np.copy(); qm[:, j] -= eps
+        g_num[:, j] = (
+            np.asarray(jax.vmap(lambda r: loss_new(r[None]))(
+                jnp.asarray(qp, jnp.float32)))
+            - np.asarray(jax.vmap(lambda r: loss_new(r[None]))(
+                jnp.asarray(qm, jnp.float32)))) / (2 * eps)
+    denom = np.abs(g_num).max() + 1e-9
+    assert np.abs(np.asarray(g_new) - g_num).max() / denom < 1e-2
+
+
+def test_fk_jvp_second_order(key):
+    """fkine must stay twice-differentiable (jax.hessian is used by the
+    trust-constr optimizer, optim.py:633): custom_jvp, not custom_vjp."""
+    robot = PandaFK()
+    q = robot.rand_configs(1, key)[0]
+
+    def loss(qq):
+        return robot.fkine(qq.reshape(1, -1)).sum()
+
+    h = jax.hessian(loss)(q)
+    h_ref = jax.hessian(
+        lambda qq: robot._fkine_soa_autodiff(qq.reshape(1, -1)).sum())(q)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fk_jvp_forward_exact(key):
+    robot = PandaFK()
+    q = robot.rand_configs(8, key)
+    new = robot.fkine(q)
+    old = robot._fkine_soa_autodiff(q).reshape(new.shape)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                               rtol=1e-6, atol=1e-6)
