@@ -32,10 +32,12 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .soa import dh_rot_trans, transform_compose, stack_points
+from .soa import (dh_rot_trans, transform_compose, stack_points,
+                  rot_from_axis_angle, rot_compose, rot_apply, vec_add)
 
 _ZERO3 = (0.0, 0.0, 0.0)
 
@@ -125,6 +127,146 @@ def make_dh_fkine(dh_const: Sequence[Tuple[float, float, float, float, float]],
             w, v = prefix[fi - 1]
             dx, dy, dz = _cross(w, pts[k])
             dcols.extend((dx - v[0], dy - v[1], dz - v[2]))
+        return out, jnp.stack(dcols, axis=-1)
+
+    return fkine_flat
+
+
+def make_chain_fkine(spec, point_specs: Sequence[Tuple[int, Tuple[float,
+                                                                  float,
+                                                                  float]]],
+                     base: Optional[Tuple] = None):
+    """General (tree-topology) chain FK ``q [B, D] -> pts [B, 3 * P]``
+    with the analytic geometric-Jacobian JVP — the URDF counterpart of
+    :func:`make_dh_fkine`.
+
+    Same SoA strategy as the DH version, generalized to the
+    :class:`~diffco_tpu.robots.kinematics.ChainSpec` joint model
+    (ref rigid_body.py:82-140's recursive FK, here flattened): fixed /
+    revolute-about-an-arbitrary-static-axis / prismatic joints, mimic
+    multipliers, branching trees. The tangent is::
+
+        dp_k = sum_i dtheta_i * (z_i x (p_k - o_i))    (revolute i)
+             + sum_i dtheta_i * z_i                    (prismatic i)
+
+    over the *moving ancestors* ``i`` of point k's link (a static set per
+    point — trees don't admit the DH prefix-sum factoring, but the pair
+    count stays tiny). ``dtheta_i = mimic_mult_i * dq[:, dof_i]``.
+
+    point_specs: ``(link_idx, (ox, oy, oz))`` static offsets in the link
+    frame — covers both the control-point ``fkine`` (zero offsets on
+    selected links) and the collision-sphere centers in one mechanism.
+    base: optional static ``(rot 3x3, trans 3)`` arrays applied at the
+    root.
+    """
+    from .kinematics import FIXED, REVOLUTE, PRISMATIC
+
+    L = spec.n_links
+    parent = [int(p) for p in spec.parent]
+    jtype = [int(t) for t in spec.jtype]
+    axis = [tuple(float(v) for v in a) for a in spec.axis]
+    f_rot = [tuple(float(v) for v in np.asarray(r).reshape(-1))
+             for r in spec.fixed_rot]
+    f_trans = [tuple(float(v) for v in t) for t in spec.fixed_trans]
+    dof_idx = [int(d) for d in spec.dof_idx]
+    m_mult = [float(m) for m in spec.mimic_mult]
+    m_off = [float(o) for o in spec.mimic_offset]
+    point_specs = tuple((int(li), tuple(float(v) for v in off))
+                        for li, off in point_specs)
+    if base is not None:
+        base_rot = tuple(float(v) for v in np.asarray(base[0]).reshape(-1))
+        base_trans = tuple(float(v) for v in np.asarray(base[1]))
+    else:
+        base_rot = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        base_trans = _ZERO3
+
+    # static moving-ancestor chains (link i included: its own joint moves
+    # every point attached to it)
+    def _moving_chain(li):
+        chain = []
+        while li >= 0:
+            if jtype[li] != FIXED:
+                chain.append(li)
+            li = parent[li]
+        return tuple(reversed(chain))
+
+    point_chains = tuple(_moving_chain(li) for li, _ in point_specs)
+
+    def _chain(q):
+        rots = [None] * L
+        trans = [None] * L
+        joints = {}          # moving link -> (z world comps, o world comps)
+        for i in range(L):
+            jt = jtype[i]
+            if jt == FIXED:
+                j_rot, j_trans = f_rot[i], f_trans[i]
+            else:
+                th = q[:, dof_idx[i]] * m_mult[i] + m_off[i]
+                if jt == REVOLUTE:
+                    j_rot = rot_compose(f_rot[i],
+                                        rot_from_axis_angle(axis[i], th))
+                    j_trans = f_trans[i]
+                else:  # PRISMATIC: slide along the (fixed-rotated) axis
+                    ax = rot_apply(f_rot[i], axis[i])  # static floats
+                    j_rot = f_rot[i]
+                    j_trans = (f_trans[i][0] + ax[0] * th,
+                               f_trans[i][1] + ax[1] * th,
+                               f_trans[i][2] + ax[2] * th)
+            p = parent[i]
+            if p < 0:
+                pr, pt = base_rot, base_trans
+            else:
+                pr, pt = rots[p], trans[p]
+            w_rot, w_trans = transform_compose(pr, pt, j_rot, j_trans)
+            rots[i] = w_rot
+            trans[i] = w_trans
+            if jt != FIXED:
+                if jt == REVOLUTE:
+                    # world joint axis: R_w @ axis (axis invariant under
+                    # its own rotation); origin = the link frame origin
+                    z = rot_apply(w_rot, axis[i])
+                else:
+                    # prismatic direction in the parent-composed frame
+                    z = rot_apply(pr, rot_apply(f_rot[i], axis[i]))
+                joints[i] = (z, trans[i])
+        pts = []
+        zb = jnp.zeros_like(q[:, 0])
+        for li, off in point_specs:
+            if off == _ZERO3:
+                p = trans[li]
+            else:
+                p = vec_add(trans[li], rot_apply(rots[li], off))
+            # points under all-fixed subtrees are compile-time floats;
+            # broadcast so stack_points sees uniform [B] components
+            pts.append(tuple(zb + c for c in p))
+        return joints, pts
+
+    @jax.custom_jvp
+    def fkine_flat(q):
+        _, pts = _chain(q)
+        return stack_points(pts, flat=True)
+
+    @fkine_flat.defjvp
+    def _fkine_jvp(primals, tangents):
+        (q,), (dq,) = primals, tangents
+        joints, pts = _chain(q)
+        out = stack_points(pts, flat=True)
+        zero = jnp.zeros_like(q[:, 0])
+        dcols = []
+        for k, chain in enumerate(point_chains):
+            p = pts[k]
+            d = [zero, zero, zero]
+            for i in chain:
+                z, o = joints[i]
+                dth = dq[:, dof_idx[i]] * m_mult[i]
+                if jtype[i] == REVOLUTE:
+                    rx = (p[0] - o[0], p[1] - o[1], p[2] - o[2])
+                    cx, cy, cz = _cross(z, rx)
+                    d = [d[0] + dth * cx, d[1] + dth * cy, d[2] + dth * cz]
+                else:  # PRISMATIC
+                    d = [d[0] + dth * z[0], d[1] + dth * z[1],
+                         d[2] + dth * z[2]]
+            dcols.extend(d)
         return out, jnp.stack(dcols, axis=-1)
 
     return fkine_flat

@@ -223,6 +223,30 @@ class URDFRobot:
             n: max(len(link_geoms.get(n, ())), 0)
             for n in self.spec.link_names}
 
+        # ---- analytic-JVP SoA chain FK (robots/fk_jvp.py) ----------------
+        # control points and sphere centers are static point specs on the
+        # flattened chain: the hot paths never materialize [B, L, 3, 3]
+        # poses or pay the vmap-of-scan matmul chain (and their autodiff
+        # backward is the closed-form geometric Jacobian)
+        from .fk_jvp import make_chain_fkine
+        _base = (None if self.base_rot is None
+                 else (np.asarray(self.base_rot), np.asarray(self.base_trans)))
+        _sel = [self.spec.link_index(n)
+                for n in self.spec.unique_position_link_names]
+        self._fkine_sel = (
+            make_chain_fkine(self.spec,
+                             tuple((li, (0.0, 0.0, 0.0)) for li in _sel),
+                             base=_base) if _sel else None)
+        if self.link_sphere_centers.shape[0]:
+            _sphere_specs = tuple(
+                (int(li), tuple(float(v) for v in c))
+                for li, c in zip(np.asarray(self.sphere_link_idx),
+                                 np.asarray(self.link_sphere_centers)))
+            self._sphere_fkine = make_chain_fkine(
+                self.spec, _sphere_specs, base=_base)
+        else:
+            self._sphere_fkine = None
+
         # ---- jitted closures (built once; retracing on every call would
         # dominate runtime, and obstacle motion must not recompile) --------
         def _fk_batch(q):
@@ -230,6 +254,8 @@ class URDFRobot:
                 self.spec, qq, self.base_rot, self.base_trans))(q)
 
         def _spheres_world(q):
+            if self._sphere_fkine is not None:
+                return self._sphere_fkine(q).reshape(q.shape[0], -1, 3)
             rot, tr = _fk_batch(q)
             R = rot[:, self.sphere_link_idx]       # [B, P, 3, 3]
             t = tr[:, self.sphere_link_idx]        # [B, P, 3]
@@ -389,6 +415,9 @@ class URDFRobot:
         """Stacked control-point positions [B, n_sel, 3] over the
         unique-position links (ref collision_checkers.py:386-394)."""
         del return_collision
+        q = jnp.atleast_2d(jnp.asarray(q))
+        if self._fkine_sel is not None:
+            return self._fkine_sel(q).reshape(q.shape[0], -1, 3)
         rot, tr = self.fk_poses(q)
         sel = self._unique_position_link_indices()
         return tr[:, sel]

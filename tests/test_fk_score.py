@@ -133,3 +133,65 @@ def test_fk_jvp_forward_exact(key):
     old = robot._fkine_soa_autodiff(q).reshape(new.shape)
     np.testing.assert_allclose(np.asarray(new), np.asarray(old),
                                rtol=1e-6, atol=1e-6)
+
+
+# -- general chain FK (make_chain_fkine, URDF hot paths) -------------------
+
+
+def _urdf(name, **kw):
+    import os
+    from diffco_tpu import robot_data
+    from diffco_tpu.robots.urdf import URDFRobot
+    robot_data.ensure_default_assets()
+    return URDFRobot(os.path.join(robot_data.data_dir, name), **kw)
+
+
+@pytest.mark.parametrize('urdf,kw', [
+    ('trifinger_simple.urdf', {'setup_acm': False, 'link_spheres': 2}),
+    ('lift_rig.urdf', {'setup_acm': False, 'link_spheres': 2}),
+])
+def test_chain_fkine_matches_scan_fk(urdf, kw, key):
+    """The analytic-JVP chain FK must match the pose-scan oracle on
+    trees (trifinger) and prismatic+mimic chains (lift_rig), for both
+    control points and sphere centers."""
+    robot = _urdf(urdf, **kw)
+    q = robot.rand_configs(8, key)
+    # control points: new path vs old selected-translation path
+    new_pts = np.asarray(robot.fkine(q))
+    rot, tr = robot.fk_poses(q)
+    sel = robot._unique_position_link_indices()
+    old_pts = np.asarray(tr[:, sel])
+    np.testing.assert_allclose(new_pts, old_pts, rtol=1e-5, atol=1e-6)
+    # sphere centers: new path vs the pose-composed formula
+    new_c = np.asarray(robot.sphere_centers_world(q))
+    R = rot[:, robot.sphere_link_idx]
+    t = tr[:, robot.sphere_link_idx]
+    c = robot.link_sphere_centers[None, :, None, :]
+    old_c = np.asarray(jnp.sum(R * c, axis=-1) + t)
+    np.testing.assert_allclose(new_c, old_c, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('urdf,kw', [
+    ('trifinger_simple.urdf', {'setup_acm': False, 'link_spheres': 2}),
+    ('lift_rig.urdf', {'setup_acm': False, 'link_spheres': 2}),
+])
+def test_chain_fkine_grad_matches_numeric(urdf, kw, key):
+    robot = _urdf(urdf, **kw)
+    q = robot.rand_configs(4, key)
+
+    def loss(qq):
+        p = robot.fkine(qq)
+        return jnp.sum(jnp.sin(p) * jnp.cos(0.7 * p))
+
+    g = np.asarray(jax.grad(loss)(q))
+    eps = 1e-4
+    q_np = np.asarray(q, np.float64)
+    g_num = np.zeros_like(q_np)
+    for j in range(q.shape[1]):
+        qp = q_np.copy(); qp[:, j] += eps
+        qm = q_np.copy(); qm[:, j] -= eps
+        g_num[:, j] = (float(loss(jnp.asarray(qp, jnp.float32)))
+                       - float(loss(jnp.asarray(qm, jnp.float32)))) / (2 * eps)
+    # numeric diff sums over the batch; compare summed analytic grads
+    np.testing.assert_allclose(g.sum(0), g_num.sum(0) / q.shape[0] * 1,
+                               rtol=5e-2, atol=1e-3)
