@@ -98,6 +98,46 @@ def _dh_chain_tile(q_rows, dh_const, point_specs, base):
     return axes, pts
 
 
+def _score_grad_block(pts, s_ref, w_ref, score_ref, f_pad, dt):
+    """Shared kernel block: component-major points -> polyharmonic score
+    (written to score_ref) and a per-row point-gradient accessor."""
+    comps = []
+    for p in pts:
+        comps.extend(p)
+    zero_row = jnp.zeros_like(comps[0])
+    comps.extend([zero_row] * (f_pad - len(comps)))
+    xT = jnp.concatenate(comps, axis=0)            # [F_pad, TB]
+    s = s_ref[:].astype(jnp.float32)               # [S, F_pad]
+    wv = w_ref[:].astype(jnp.float32)              # [S, 1]
+    x2 = jnp.sum(xT * xT, axis=0, keepdims=True)   # [1, TB]
+    s2 = jnp.sum(s * s, axis=1, keepdims=True)     # [S, 1]
+    sx = jax.lax.dot_general(
+        s.astype(dt), xT.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [S, TB]
+    d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0) + 1e-12
+    rinv = jax.lax.rsqrt(d2)
+    r = d2 * rinv                                  # sqrt(d2)
+    score_ref[:] = jax.lax.dot_general(
+        wv.astype(dt).T, r.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [1, TB]
+    rowsum = jax.lax.dot_general(
+        wv.astype(dt).T, rinv.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [1, TB]
+    su = jax.lax.dot_general(
+        (s * wv).astype(dt), rinv.astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [F_pad, TB]
+
+    def g_comp(row):
+        # dscore/dpoint, per point k: rows 3k..3k+2 of xT*rowsum - su
+        return xT[row:row + 1, :] * rowsum - su[row:row + 1, :]
+
+    return g_comp
+
+
 def _make_dh_score_kernel(dh_const, point_specs, base, n_joints, n_pts,
                           f_pad, use_bf16: bool):
     dt = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -106,42 +146,11 @@ def _make_dh_score_kernel(dh_const, point_specs, base, n_joints, n_pts,
     def kernel(qT_ref, s_ref, w_ref, score_ref, dqT_ref):
         q_rows = [qT_ref[i:i + 1, :] for i in range(n_joints)]
         axes, pts = _dh_chain_tile(q_rows, dh_const, point_specs, base)
-        # assemble the component-major point block [F_pad, TB]
-        comps = []
-        for p in pts:
-            comps.extend(p)
-        zero_row = jnp.zeros_like(comps[0])
-        comps.extend([zero_row] * (f_pad - len(comps)))
-        xT = jnp.concatenate(comps, axis=0)            # [F_pad, TB]
-        s = s_ref[:].astype(jnp.float32)               # [S, F_pad]
-        wv = w_ref[:].astype(jnp.float32)              # [S, 1]
-        x2 = jnp.sum(xT * xT, axis=0, keepdims=True)   # [1, TB]
-        s2 = jnp.sum(s * s, axis=1, keepdims=True)     # [S, 1]
-        sx = jax.lax.dot_general(
-            s.astype(dt), xT.astype(dt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [S, TB]
-        d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0) + 1e-12
-        rinv = jax.lax.rsqrt(d2)
-        r = d2 * rinv                                  # sqrt(d2)
-        score_ref[:] = jax.lax.dot_general(
-            wv.astype(dt).T, r.astype(dt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [1, TB]
-        rowsum = jax.lax.dot_general(
-            wv.astype(dt).T, rinv.astype(dt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [1, TB]
-        su = jax.lax.dot_general(
-            (s * wv).astype(dt), rinv.astype(dt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [F_pad, TB]
-        # dscore/dpoint, per point k: rows 3k..3k+2 of xT*rowsum - su
-        def g_comp(row):
-            return xT[row:row + 1, :] * rowsum - su[row:row + 1, :]
+        g_comp = _score_grad_block(pts, s_ref, w_ref, score_ref, f_pad, dt)
         # FK backward: suffix sums over points in reverse chain order
-        sg = [jnp.zeros_like(rowsum) for _ in range(3)]
-        sm = [jnp.zeros_like(rowsum) for _ in range(3)]
+        zero_row = jnp.zeros_like(score_ref[:])
+        sg = [zero_row for _ in range(3)]
+        sm = [zero_row for _ in range(3)]
         k = n_pts - 1
         for j in range(n_joints, 0, -1):
             while k >= 0 and frame_ids[k] >= j:
@@ -219,6 +228,119 @@ def _dh_score_grad_pallas(q, s, w, spec, use_bf16=True):
     return score[0, :B], dqT[:, :B].T
 
 
+def _make_chain_score_kernel(cs, n_dofs, f_pad, use_bf16: bool):
+    """General ChainSpec variant of the DH kernel: the tile FK is the
+    shared SoA evaluator (robots/fk_jvp.eval_chain) on [1, TB] rows; the
+    backward accumulates per-dof via the per-point moving-ancestor sets
+    (trees don't admit the DH suffix-sum ordering)."""
+    from ..robots.fk_jvp import eval_chain, _REVOLUTE
+    dt = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    def kernel(qT_ref, s_ref, w_ref, score_ref, dqT_ref):
+        q_rows = [qT_ref[i:i + 1, :] for i in range(n_dofs)]
+        zb = jnp.zeros_like(q_rows[0])
+        joints, pts = eval_chain(cs, q_rows, zb)
+        g_comp = _score_grad_block(pts, s_ref, w_ref, score_ref, f_pad, dt)
+        dq_acc = [jnp.zeros_like(score_ref[:]) for _ in range(n_dofs)]
+        for k, chain in enumerate(cs.point_chains):
+            g = (g_comp(3 * k), g_comp(3 * k + 1), g_comp(3 * k + 2))
+            p = pts[k]
+            for i in chain:
+                z, o = joints[i]
+                if cs.jtype[i] == _REVOLUTE:
+                    rx = (p[0] - o[0], p[1] - o[1], p[2] - o[2])
+                    cx, cy, cz = _cross(z, rx)
+                    val = cx * g[0] + cy * g[1] + cz * g[2]
+                else:  # PRISMATIC
+                    val = z[0] * g[0] + z[1] * g[1] + z[2] * g[2]
+                d = cs.dof_idx[i]
+                dq_acc[d] = dq_acc[d] + cs.m_mult[i] * val
+        for d in range(n_dofs):
+            dqT_ref[d:d + 1, :] = dq_acc[d]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('cs', 'use_bf16'))
+def _chain_score_grad_pallas(q, s, w, cs, use_bf16=True):
+    """q [B, D] -> (score [B], dscore/dq [B, D]) through the fused
+    chain-FK+score+grad kernel. ``cs`` is a ChainStatics (hashable)."""
+    n_dofs = cs.n_dofs
+    F = 3 * len(cs.point_specs)
+    f_pad = _round_up(F, 8)
+    B = q.shape[0]
+    S = s.shape[0]
+    TB = _tile_b(S)
+    Bp = _round_up(max(B, 128), TB)
+    qT = q.T
+    if Bp != B:
+        qT = jnp.zeros((n_dofs, Bp), q.dtype).at[:, :B].set(qT)
+    sp = s if s.shape[1] == f_pad else jnp.concatenate(
+        [s, jnp.zeros((S, f_pad - s.shape[1]), s.dtype)], axis=1)
+    kernel = _make_chain_score_kernel(cs, n_dofs, f_pad, use_bf16)
+    score, dqT = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_dofs, Bp), jnp.float32)),
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((n_dofs, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, f_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n_dofs, TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * Bp * S * f_pad + 2000 * Bp,
+            bytes_accessed=Bp * (n_dofs * 8 + 4) + S * f_pad * 4,
+            transcendentals=Bp * S + 2 * n_dofs * Bp),
+        interpret=_interpret(),
+    )(qT, sp, w.reshape(S, 1))
+    return score[0, :B], dqT[:, :B].T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chain_polyharmonic_score(q, supports, weights, cs):
+    """URDF-chain counterpart of dh_polyharmonic_score, [B, 1]."""
+    score, _ = _chain_score_grad_pallas(q, supports, weights, cs)
+    return score[:, None]
+
+
+def _cps_fwd(q, supports, weights, cs):
+    score, dq = _chain_score_grad_pallas(q, supports, weights, cs)
+    return score[:, None], (dq, supports, weights)
+
+
+def _cps_bwd(cs, res, g):
+    dq, supports, weights = res
+    return (g * dq, jnp.zeros_like(supports), jnp.zeros_like(weights))
+
+
+chain_polyharmonic_score.defvjp(_cps_fwd, _cps_bwd)
+
+
+def robot_chain_statics(robot):
+    """ChainStatics for a URDFRobot's control-point fkine, or None if the
+    robot has no unique-position links."""
+    from ..robots.fk_jvp import chain_statics
+    sel = [robot.spec.link_index(n)
+           for n in robot.spec.unique_position_link_names]
+    if not sel:
+        return None
+    base = (None if robot.base_rot is None
+            else (robot.base_rot, robot.base_trans))
+    return chain_statics(robot.spec,
+                         tuple((li, (0.0, 0.0, 0.0)) for li in sel),
+                         base=base)
+
+
 def robot_spec(robot) -> Tuple:
     """Hashable (dh_const, point_specs, base) spec for a DHChainRobot."""
     dh_const = tuple(tuple(float(v) for v in row)
@@ -246,6 +368,13 @@ def dh_score_grad_available(robot, batch: int) -> bool:
     from ..robots.analytic import DHChainRobot
     return (fused_score_available() and isinstance(robot, DHChainRobot)
             and batch >= _FK_FUSED_MIN_BATCH)
+
+
+def chain_score_grad_available(robot, batch: int) -> bool:
+    from ..robots.urdf import URDFRobot
+    return (fused_score_available() and isinstance(robot, URDFRobot)
+            and batch >= _FK_FUSED_MIN_BATCH
+            and getattr(robot, '_fkine_sel', None) is not None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -282,6 +411,12 @@ def dh_polyharmonic_score_auto(q, robot, supports, weights,
     from ..robots.analytic import DHChainRobot
     if dh_score_grad_available(robot, q.shape[0]):
         return dh_polyharmonic_score(q, supports, w, robot_spec(robot))
+    if chain_score_grad_available(robot, q.shape[0]):
+        cs = getattr(robot, '_chain_statics_cache', None)
+        if cs is None:
+            cs = robot_chain_statics(robot)
+            robot._chain_statics_cache = cs
+        return chain_polyharmonic_score(q, supports, w, cs)
     if isinstance(robot, DHChainRobot):
         pts = robot.fkine(q, flat=True)        # skips the [B, P, 3] reshape
     else:

@@ -159,20 +159,70 @@ def make_chain_fkine(spec, point_specs: Sequence[Tuple[int, Tuple[float,
     base: optional static ``(rot 3x3, trans 3)`` arrays applied at the
     root.
     """
-    from .kinematics import FIXED, REVOLUTE, PRISMATIC
+    cs = chain_statics(spec, point_specs, base)
 
-    L = spec.n_links
-    parent = [int(p) for p in spec.parent]
-    jtype = [int(t) for t in spec.jtype]
-    axis = [tuple(float(v) for v in a) for a in spec.axis]
-    f_rot = [tuple(float(v) for v in np.asarray(r).reshape(-1))
-             for r in spec.fixed_rot]
-    f_trans = [tuple(float(v) for v in t) for t in spec.fixed_trans]
-    dof_idx = [int(d) for d in spec.dof_idx]
-    m_mult = [float(m) for m in spec.mimic_mult]
-    m_off = [float(o) for o in spec.mimic_offset]
+    @jax.custom_jvp
+    def fkine_flat(q):
+        zb = jnp.zeros_like(q[:, 0])
+        _, pts = eval_chain(cs, [q[:, d] for d in range(cs.n_dofs)], zb)
+        return stack_points(pts, flat=True)
+
+    @fkine_flat.defjvp
+    def _fkine_jvp(primals, tangents):
+        (q,), (dq,) = primals, tangents
+        zero = jnp.zeros_like(q[:, 0])
+        joints, pts = eval_chain(cs, [q[:, d] for d in range(cs.n_dofs)],
+                                 zero)
+        out = stack_points(pts, flat=True)
+        dcols = []
+        for k, chain in enumerate(cs.point_chains):
+            p = pts[k]
+            d = [zero, zero, zero]
+            for i in chain:
+                z, o = joints[i]
+                dth = dq[:, cs.dof_idx[i]] * cs.m_mult[i]
+                if cs.jtype[i] == _REVOLUTE:
+                    rx = (p[0] - o[0], p[1] - o[1], p[2] - o[2])
+                    cx, cy, cz = _cross(z, rx)
+                    d = [d[0] + dth * cx, d[1] + dth * cy, d[2] + dth * cz]
+                else:  # PRISMATIC
+                    d = [d[0] + dth * z[0], d[1] + dth * z[1],
+                         d[2] + dth * z[2]]
+            dcols.extend(d)
+        return out, jnp.stack(dcols, axis=-1)
+
+    return fkine_flat
+
+
+# joint-type codes mirrored from kinematics.py (import cycle avoidance)
+_FIXED, _REVOLUTE, _PRISMATIC = 0, 1, 2
+
+
+class ChainStatics(tuple):
+    """Hashable static chain description (nested float tuples) usable
+    both as a closure constant (XLA path) and as a static kernel
+    parameter (the Pallas FK+score kernel in ops/fk_score.py)."""
+    _fields = ('parent', 'jtype', 'axis', 'f_rot', 'f_trans', 'dof_idx',
+               'm_mult', 'm_off', 'base_rot', 'base_trans', 'point_specs',
+               'point_chains', 'n_dofs')
+
+    def __new__(cls, *vals):
+        assert len(vals) == len(cls._fields)
+        return super().__new__(cls, vals)
+
+
+for _i, _f in enumerate(ChainStatics._fields):
+    setattr(ChainStatics, _f, property(
+        lambda self, _i=_i: tuple.__getitem__(self, _i)))
+
+
+def chain_statics(spec, point_specs, base=None) -> ChainStatics:
+    """Extract everything static from a ChainSpec + point specs + base
+    into nested (hashable) float tuples."""
     point_specs = tuple((int(li), tuple(float(v) for v in off))
                         for li, off in point_specs)
+    parent = tuple(int(p) for p in spec.parent)
+    jtype = tuple(int(t) for t in spec.jtype)
     if base is not None:
         base_rot = tuple(float(v) for v in np.asarray(base[0]).reshape(-1))
         base_trans = tuple(float(v) for v in np.asarray(base[1]))
@@ -185,88 +235,77 @@ def make_chain_fkine(spec, point_specs: Sequence[Tuple[int, Tuple[float,
     def _moving_chain(li):
         chain = []
         while li >= 0:
-            if jtype[li] != FIXED:
+            if jtype[li] != _FIXED:
                 chain.append(li)
             li = parent[li]
         return tuple(reversed(chain))
 
-    point_chains = tuple(_moving_chain(li) for li, _ in point_specs)
+    return ChainStatics(
+        parent, jtype,
+        tuple(tuple(float(v) for v in a) for a in spec.axis),
+        tuple(tuple(float(v) for v in np.asarray(r).reshape(-1))
+              for r in spec.fixed_rot),
+        tuple(tuple(float(v) for v in t) for t in spec.fixed_trans),
+        tuple(int(d) for d in spec.dof_idx),
+        tuple(float(m) for m in spec.mimic_mult),
+        tuple(float(o) for o in spec.mimic_offset),
+        base_rot, base_trans, point_specs,
+        tuple(_moving_chain(li) for li, _ in point_specs),
+        int(spec.n_dofs))
 
-    def _chain(q):
-        rots = [None] * L
-        trans = [None] * L
-        joints = {}          # moving link -> (z world comps, o world comps)
-        for i in range(L):
-            jt = jtype[i]
-            if jt == FIXED:
-                j_rot, j_trans = f_rot[i], f_trans[i]
+
+def eval_chain(cs: ChainStatics, q_cols, zb):
+    """SoA chain evaluation shared by the XLA path and the Pallas kernel.
+
+    q_cols: one array per dof (any broadcast-compatible shape — [B] rows
+    on the XLA path, [1, TB] rows inside a kernel tile); zb: a zero
+    array of that shape. Returns (joints {link: (axis, origin)}, points
+    [(x, y, z)] broadcast to zb's shape).
+    """
+    L = len(cs.parent)
+    rots = [None] * L
+    trans = [None] * L
+    joints = {}
+    for i in range(L):
+        jt = cs.jtype[i]
+        if jt == _FIXED:
+            j_rot, j_trans = cs.f_rot[i], cs.f_trans[i]
+        else:
+            th = q_cols[cs.dof_idx[i]] * cs.m_mult[i] + cs.m_off[i]
+            if jt == _REVOLUTE:
+                j_rot = rot_compose(cs.f_rot[i],
+                                    rot_from_axis_angle(cs.axis[i], th))
+                j_trans = cs.f_trans[i]
+            else:  # PRISMATIC: slide along the (fixed-rotated) axis
+                ax = rot_apply(cs.f_rot[i], cs.axis[i])  # static floats
+                j_rot = cs.f_rot[i]
+                j_trans = (cs.f_trans[i][0] + ax[0] * th,
+                           cs.f_trans[i][1] + ax[1] * th,
+                           cs.f_trans[i][2] + ax[2] * th)
+        p = cs.parent[i]
+        if p < 0:
+            pr, pt = cs.base_rot, cs.base_trans
+        else:
+            pr, pt = rots[p], trans[p]
+        w_rot, w_trans = transform_compose(pr, pt, j_rot, j_trans)
+        rots[i] = w_rot
+        trans[i] = w_trans
+        if jt != _FIXED:
+            if jt == _REVOLUTE:
+                # world joint axis: R_w @ axis (axis invariant under its
+                # own rotation); origin = the link frame origin
+                z = rot_apply(w_rot, cs.axis[i])
             else:
-                th = q[:, dof_idx[i]] * m_mult[i] + m_off[i]
-                if jt == REVOLUTE:
-                    j_rot = rot_compose(f_rot[i],
-                                        rot_from_axis_angle(axis[i], th))
-                    j_trans = f_trans[i]
-                else:  # PRISMATIC: slide along the (fixed-rotated) axis
-                    ax = rot_apply(f_rot[i], axis[i])  # static floats
-                    j_rot = f_rot[i]
-                    j_trans = (f_trans[i][0] + ax[0] * th,
-                               f_trans[i][1] + ax[1] * th,
-                               f_trans[i][2] + ax[2] * th)
-            p = parent[i]
-            if p < 0:
-                pr, pt = base_rot, base_trans
-            else:
-                pr, pt = rots[p], trans[p]
-            w_rot, w_trans = transform_compose(pr, pt, j_rot, j_trans)
-            rots[i] = w_rot
-            trans[i] = w_trans
-            if jt != FIXED:
-                if jt == REVOLUTE:
-                    # world joint axis: R_w @ axis (axis invariant under
-                    # its own rotation); origin = the link frame origin
-                    z = rot_apply(w_rot, axis[i])
-                else:
-                    # prismatic direction in the parent-composed frame
-                    z = rot_apply(pr, rot_apply(f_rot[i], axis[i]))
-                joints[i] = (z, trans[i])
-        pts = []
-        zb = jnp.zeros_like(q[:, 0])
-        for li, off in point_specs:
-            if off == _ZERO3:
-                p = trans[li]
-            else:
-                p = vec_add(trans[li], rot_apply(rots[li], off))
-            # points under all-fixed subtrees are compile-time floats;
-            # broadcast so stack_points sees uniform [B] components
-            pts.append(tuple(zb + c for c in p))
-        return joints, pts
-
-    @jax.custom_jvp
-    def fkine_flat(q):
-        _, pts = _chain(q)
-        return stack_points(pts, flat=True)
-
-    @fkine_flat.defjvp
-    def _fkine_jvp(primals, tangents):
-        (q,), (dq,) = primals, tangents
-        joints, pts = _chain(q)
-        out = stack_points(pts, flat=True)
-        zero = jnp.zeros_like(q[:, 0])
-        dcols = []
-        for k, chain in enumerate(point_chains):
-            p = pts[k]
-            d = [zero, zero, zero]
-            for i in chain:
-                z, o = joints[i]
-                dth = dq[:, dof_idx[i]] * m_mult[i]
-                if jtype[i] == REVOLUTE:
-                    rx = (p[0] - o[0], p[1] - o[1], p[2] - o[2])
-                    cx, cy, cz = _cross(z, rx)
-                    d = [d[0] + dth * cx, d[1] + dth * cy, d[2] + dth * cz]
-                else:  # PRISMATIC
-                    d = [d[0] + dth * z[0], d[1] + dth * z[1],
-                         d[2] + dth * z[2]]
-            dcols.extend(d)
-        return out, jnp.stack(dcols, axis=-1)
-
-    return fkine_flat
+                # prismatic direction in the parent-composed frame
+                z = rot_apply(pr, rot_apply(cs.f_rot[i], cs.axis[i]))
+            joints[i] = (z, trans[i])
+    pts = []
+    for li, off in cs.point_specs:
+        if off == _ZERO3:
+            p = trans[li]
+        else:
+            p = vec_add(trans[li], rot_apply(rots[li], off))
+        # points under all-fixed subtrees are compile-time floats;
+        # broadcast so downstream stacking sees uniform components
+        pts.append(tuple(zb + c for c in p))
+    return joints, pts

@@ -195,3 +195,46 @@ def test_chain_fkine_grad_matches_numeric(urdf, kw, key):
     # numeric diff sums over the batch; compare summed analytic grads
     np.testing.assert_allclose(g.sum(0), g_num.sum(0) / q.shape[0] * 1,
                                rtol=5e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize('urdf,kw', [
+    ('panda_simple.urdf', {'setup_acm': False, 'link_spheres': 2}),
+    ('trifinger_simple.urdf', {'setup_acm': False, 'link_spheres': 2}),
+    ('lift_rig.urdf', {'setup_acm': False, 'link_spheres': 2}),
+])
+def test_fused_chain_score_matches_xla_fp32(urdf, kw, key):
+    """The general-chain Pallas kernel (serial, tree, prismatic+mimic)
+    vs the XLA oracle, fp32."""
+    robot = _urdf(urdf, **kw)
+    sup, w, q = _setup(robot, key, S=32, B=160)
+    cs = fk_score.robot_chain_statics(robot)
+    score, dq = fk_score._chain_score_grad_pallas(q, sup, w, cs,
+                                                  use_bf16=False)
+    pts = robot.fkine(q).reshape(q.shape[0], -1)
+    ref = _poly_score_xla(pts, sup, w).reshape(-1)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    ref_grad = jax.grad(
+        lambda qq: _poly_score_xla(robot.fkine(qq).reshape(qq.shape[0], -1),
+                                   sup, w).sum())(q)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(ref_grad),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_chain_custom_vjp_route(key):
+    robot = _urdf('panda_simple.urdf', setup_acm=False, link_spheres=2)
+    sup, w, q = _setup(robot, key, S=32, B=160)
+    cs = fk_score.robot_chain_statics(robot)
+
+    def total(qq):
+        return fk_score.chain_polyharmonic_score(qq, sup, w, cs).sum()
+
+    v, g = jax.value_and_grad(total)(q)
+    ref_v = _poly_score_xla(robot.fkine(q).reshape(q.shape[0], -1),
+                            sup, w).sum()
+    ref_g = jax.grad(
+        lambda qq: _poly_score_xla(robot.fkine(qq).reshape(qq.shape[0], -1),
+                                   sup, w).sum())(q)
+    assert abs(float(v) - float(ref_v)) / (abs(float(ref_v)) + 1e-9) < 2e-2
+    denom = np.abs(np.asarray(ref_g)).max() + 1e-9
+    assert np.abs(np.asarray(g) - np.asarray(ref_g)).max() / denom < 5e-2
