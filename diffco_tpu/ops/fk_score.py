@@ -399,10 +399,10 @@ def _dhps_bwd(spec, res, g):
 dh_polyharmonic_score.defvjp(_dhps_fwd, _dhps_bwd)
 
 
-def dh_polyharmonic_score_auto(q, robot, supports, weights,
+def fk_polyharmonic_score_auto(q, robot, supports, weights,
                                valid_mask=None, epsilon: float = 1.0):
     """Route ``score(fkine(q))`` through the fully-fused kernel when
-    available, else FK + the fused/XLA score op."""
+    available (DH or URDF chain), else FK + the fused/XLA score op."""
     w = weights.reshape(-1)
     if valid_mask is not None:
         w = w * valid_mask.astype(w.dtype)
@@ -410,7 +410,11 @@ def dh_polyharmonic_score_auto(q, robot, supports, weights,
         w = w / epsilon
     from ..robots.analytic import DHChainRobot
     if dh_score_grad_available(robot, q.shape[0]):
-        return dh_polyharmonic_score(q, supports, w, robot_spec(robot))
+        spec = getattr(robot, '_dh_spec_cache', None)
+        if spec is None:
+            spec = robot_spec(robot)
+            robot._dh_spec_cache = spec
+        return dh_polyharmonic_score(q, supports, w, spec)
     if chain_score_grad_available(robot, q.shape[0]):
         cs = getattr(robot, '_chain_statics_cache', None)
         if cs is None:
@@ -422,3 +426,7 @@ def dh_polyharmonic_score_auto(q, robot, supports, weights,
     else:
         pts = robot.fkine(q) if hasattr(robot, 'fkine') else robot(q)
     return polyharmonic_score(pts.reshape(q.shape[0], -1), supports, w)
+
+
+# name kept from before the URDF-chain generalization
+dh_polyharmonic_score_auto = fk_polyharmonic_score_auto

@@ -592,8 +592,8 @@ class DiffCo(Perceptron):
                 robot = getattr(self.transform, '__self__', None)
                 if (robot is not None
                         and getattr(robot, 'fkine', None) == self.transform):
-                    from .ops.fk_score import dh_polyharmonic_score_auto
-                    return dh_polyharmonic_score_auto(
+                    from .ops.fk_score import fk_polyharmonic_score_auto
+                    return fk_polyharmonic_score_auto(
                         point, robot, self.support_transformed,
                         self.rbf_nodes, self.valid_mask,
                         epsilon=self.rbf_kernel.epsilon)

@@ -74,10 +74,13 @@ def test_auto_router_fallback_matches(key):
     FK + fused-score path bit-for-bit (it IS that path)."""
     robot = PandaFK()
     sup, w, q = _setup(robot, key, B=32)
-    out = fk_score.dh_polyharmonic_score_auto(q, robot, sup, w)
+    out = fk_score.fk_polyharmonic_score_auto(q, robot, sup, w)
     ref = _poly_score_xla(robot.fkine(q, flat=True), sup, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # pre-generalization name stays importable
+    assert (fk_score.dh_polyharmonic_score_auto
+            is fk_score.fk_polyharmonic_score_auto)
 
 
 # -- analytic FK JVP (robots/fk_jvp.py) ------------------------------------
