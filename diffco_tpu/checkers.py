@@ -38,8 +38,14 @@ class CollisionChecker:
     def __init__(self, robot=None, robot_base_transform=None,
                  environment=None, robot_topic=None,
                  planning_scene_topic=None, gt_check_func=None,
-                 device=None, seed: int = 0):
+                 device=None, seed: int = 0, mesh=None):
+        """``mesh`` (a jax.sharding.Mesh) scales the checker out over
+        devices: ground-truth labeling, training, verification sweeps and
+        safety-bias estimation shard their batch dimensions over the
+        mesh's first axis (SURVEY §2.3 — new TPU design surface; the
+        reference is single-device)."""
         del device
+        self.mesh = mesh
         if isinstance(robot, str):
             if os.path.isfile(robot):
                 assert robot_topic is None
@@ -76,12 +82,34 @@ class CollisionChecker:
         active-update path assembles its (value-dependent-size) batches in
         numpy: every jnp op whose shape depends on the support count would
         recompile each update — ~1-2 s per tiny program over a remote TPU
-        backend, which dominated the measured steady-state update latency."""
-        return np.random.default_rng(
-            int(np.asarray(jax.random.key_data(self._next_key()))[-1]))
+        backend, which dominated the measured steady-state update latency.
+        Seeded from ALL key words (a single word discards half the key's
+        entropy and raises the chance of repeated host streams over many
+        active-learning updates)."""
+        words = np.asarray(jax.random.key_data(self._next_key()),
+                           np.uint32).reshape(-1)
+        return np.random.default_rng([int(w) for w in words])
+
+    def _pad_shard(self, q):
+        """Pad the leading dim to a device multiple and shard it over the
+        mesh's data axis. Returns (sharded q, true batch size)."""
+        from .parallel.sharding import (_pad_to_multiple, shard_batch,
+                                        data_axis)
+        ax = data_axis(self.mesh)
+        qp, B = _pad_to_multiple(jnp.asarray(q), self.mesh.shape[ax])
+        return shard_batch(qp, self.mesh, ax), B
+
+    def _gt_labels(self, q):
+        """Ground-truth sweep; dp-sharded over the mesh when one is set
+        (the TPU replacement for the reference's host-side per-config FCL
+        loop, urdf_interface.py:450-513)."""
+        if self.mesh is None:
+            return self.gt_check_func(q)
+        qp, B = self._pad_shard(q)
+        return jnp.asarray(self.gt_check_func(qp))[:B]
 
     def collision(self, q):
-        return self.gt_check_func(q)
+        return self._gt_labels(q)
 
     def fkine(self, q, return_collision=False, **kwargs):
         return self.robot.compute_forward_kinematics_all_links(
@@ -118,7 +146,7 @@ class CollisionChecker:
             if verbose:
                 print('Generating labels...')
                 t0 = time.time()
-            labels = self.gt_check_func(q)
+            labels = self._gt_labels(q)
             labels = jnp.asarray(labels).astype(q.dtype)
             if verbose:
                 print(f'Labels generated in {time.time() - t0:.2f}s')
@@ -139,19 +167,19 @@ class RBFDiffCo(CollisionChecker):
                  environment=None, robot_topic=None,
                  planning_scene_topic=None, gt_check_func=None, device=None,
                  kernel_func=None, perceptron_class=DiffCo, seed: int = 0,
-                 **perceptron_kwargs):
+                 mesh=None, **perceptron_kwargs):
         super().__init__(robot=robot,
                          robot_base_transform=robot_base_transform,
                          environment=environment, robot_topic=robot_topic,
                          planning_scene_topic=planning_scene_topic,
-                         gt_check_func=gt_check_func, seed=seed)
+                         gt_check_func=gt_check_func, seed=seed, mesh=mesh)
         if kernel_func is None:
             self.kernel_func = kernel.RQKernel(
                 perceptron_kwargs.pop('gamma', 10))
         else:
             self.kernel_func = kernel_func
         self.perceptron = perceptron_class(kernel_func=self.kernel_func,
-                                           **perceptron_kwargs)
+                                           mesh=mesh, **perceptron_kwargs)
         self.q_verify = None
         self.labels_verify = None
         self.safety_bias = 0.0
@@ -301,12 +329,12 @@ class RBFDiffCo(CollisionChecker):
                 q_verify = self.q_verify
             else:
                 raise ValueError('q_verify or num_samples required')
-        scores = self.perceptron.poly_score(q_verify).reshape(-1)
+        scores = self._sweep_scores(q_verify)
         preds = 2 * (scores > 0) - 1
         biased_preds = 2 * (scores + self.safety_bias > 0) - 1
 
         if labels_verify is None:
-            labels_verify = self.gt_check_func(q_verify)
+            labels_verify = self._gt_labels(q_verify)
             labels_verify = (2 * jnp.asarray(labels_verify).astype(
                 jnp.float32) - 1)
         labels_verify = jnp.asarray(labels_verify).reshape(-1)
@@ -370,9 +398,18 @@ class RBFDiffCo(CollisionChecker):
         return lambda q: fn(q, perceptron.support_transformed,
                             perceptron.rbf_nodes, perceptron.valid_mask, b)
 
+    def _sweep_scores(self, q):
+        """Proxy-score sweep over a [B, dof] batch; dp-sharded over the
+        mesh when one is set (padded rows are computed then dropped, so
+        reductions over the result see only real rows)."""
+        if self.mesh is None:
+            return self.perceptron.poly_score(q).reshape(-1)
+        qp, B = self._pad_shard(q)
+        return self.perceptron.poly_score(qp).reshape(-1)[:B]
+
     def _calculate_safety_bias(self, q_verify):
         """min(|min score|, |max score|) / 3 (ref :497-503)."""
-        scores = self.perceptron.poly_score(q_verify).reshape(-1)
+        scores = self._sweep_scores(q_verify)
         min_polar = jnp.minimum(jnp.abs(scores.min()), jnp.abs(scores.max()))
         return float(min_polar / 3)
 
@@ -392,13 +429,13 @@ class ForwardKinematicsDiffCo(RBFDiffCo):
     def __init__(self, robot=None, robot_base_transform=None,
                  environment=None, robot_topic=None,
                  planning_scene_topic=None, gt_check_func=None, device=None,
-                 perceptron_class=DiffCo, seed: int = 0,
+                 perceptron_class=DiffCo, seed: int = 0, mesh=None,
                  **perceptron_kwargs):
         CollisionChecker.__init__(
             self, robot=robot, robot_base_transform=robot_base_transform,
             environment=environment, robot_topic=robot_topic,
             planning_scene_topic=planning_scene_topic,
-            gt_check_func=gt_check_func, seed=seed)
+            gt_check_func=gt_check_func, seed=seed, mesh=mesh)
         self.tensorized_fkine = self.robot.fkine
         if hasattr(self.robot, 'unique_position_link_names'):
             self.unique_position_link_names = \
@@ -408,7 +445,7 @@ class ForwardKinematicsDiffCo(RBFDiffCo):
         self.kernel_transform = self.tensorized_fkine
         self.perceptron = perceptron_class(
             kernel_func=self.kernel_func, transform=self.kernel_transform,
-            **perceptron_kwargs)
+            mesh=mesh, **perceptron_kwargs)
         self.q_verify = None
         self.labels_verify = None
         self.safety_bias = 0.0

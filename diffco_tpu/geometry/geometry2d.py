@@ -265,15 +265,45 @@ jax.tree_util.register_pytree_node(
     Obstacles2D, _obstacles2d_flatten, _obstacles2d_unflatten)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _planar_robot_signed_dist_jit(robot, obstacles, q):
-    segs = robot.link_segments(q)  # [B, L, 2, 2]
-    cap_r = robot.link_width / 2
+# Compiled signed-distance programs keyed by the robot's STATIC geometry
+# (dof, link lengths, width) rather than instance identity: sweeps that
+# construct robots in a loop reuse one compile per distinct geometry, and
+# the global jit cache no longer retains every instance for the process
+# lifetime.
+_planar_sd_cache = {}
 
-    def per_cfg(seg):
-        return obstacles.signed_dist_segments(seg[:, 0], seg[:, 1], cap_r)
 
-    return jax.vmap(per_cfg)(segs)
+def _planar_robot_geom_key(robot):
+    key_fn = getattr(robot, 'geom_static_key', None)
+    if key_fn is not None:
+        return key_fn()
+    return ('id', id(robot))
+
+
+def _planar_sd_fns(robot):
+    key = _planar_robot_geom_key(robot)
+    fns = _planar_sd_cache.get(key)
+    if fns is None:
+        cap_r = robot.link_width / 2
+        link_segments = robot.link_segments
+
+        @jax.jit
+        def sd(obstacles, q):
+            segs = link_segments(q)  # [B, L, 2, 2]
+
+            def per_cfg(seg):
+                return obstacles.signed_dist_segments(seg[:, 0], seg[:, 1],
+                                                      cap_r)
+
+            return jax.vmap(per_cfg)(segs)
+
+        @jax.jit
+        def coll(obstacles, q):
+            return jnp.any(sd(obstacles, q) > 0, axis=-1)
+
+        fns = (sd, coll)
+        _planar_sd_cache[key] = fns
+    return fns
 
 
 def planar_robot_signed_dist(robot, obstacles: Obstacles2D, q):
@@ -283,23 +313,17 @@ def planar_robot_signed_dist(robot, obstacles: Obstacles2D, q):
     This is the JAX-native equivalent of FCLChecker.predict(X,
     distance=True) (deprecated/FCLChecker.py:65-91), fully batched.
 
-    Jitted with the robot static: eager labeling was ~0.7 s per
-    1024-config call over the device tunnel (one dispatch per obstacle
-    per op); compiled it is one dispatch, and obstacle motion reuses
-    the compile via the Obstacles2D pytree registration.
+    Compiled (cached per distinct robot geometry): eager labeling was
+    ~0.7 s per 1024-config call over the device tunnel (one dispatch per
+    obstacle per op); compiled it is one dispatch, and obstacle motion
+    reuses the compile via the Obstacles2D pytree registration.
     """
-    return _planar_robot_signed_dist_jit(robot, obstacles, q)
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _planar_robot_collision_jit(robot, obstacles, q):
-    return jnp.any(_planar_robot_signed_dist_jit(robot, obstacles, q) > 0,
-                   axis=-1)
+    return _planar_sd_fns(robot)[0](obstacles, q)
 
 
 def planar_robot_collision(robot, obstacles: Obstacles2D, q):
     """Boolean collision labels [B] (any obstacle)."""
-    return _planar_robot_collision_jit(robot, obstacles, q)
+    return _planar_sd_fns(robot)[1](obstacles, q)
 
 
 # ---------------------------------------------------------------------------

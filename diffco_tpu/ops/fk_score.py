@@ -308,7 +308,11 @@ def _chain_score_grad_pallas(q, s, w, cs, use_bf16=True):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def chain_polyharmonic_score(q, supports, weights, cs):
-    """URDF-chain counterpart of dh_polyharmonic_score, [B, 1]."""
+    """URDF-chain counterpart of dh_polyharmonic_score, [B, 1].
+
+    DIFFERENTIATION CONTRACT: same as dh_polyharmonic_score — ``q`` only;
+    supports/weights are constants (zero cotangents), forward mode raises.
+    """
     score, _ = _chain_score_grad_pallas(q, supports, weights, cs)
     return score[:, None]
 
@@ -347,6 +351,14 @@ def robot_spec(robot) -> Tuple:
                      for row in robot._dh_const)
     point_specs = tuple((int(fi), tuple(float(v) for v in off))
                         for fi, off in robot._point_specs)
+    # the fused kernel's suffix-sum backward (_make_dh_score_kernel)
+    # requires non-decreasing frame ids, same as make_dh_fkine
+    # (fk_jvp.py asserts it); a subclass violating it would get silently
+    # wrong gradients from the Pallas route while the XLA route stays right
+    frame_ids = [fi for fi, _ in point_specs]
+    assert all(a <= b for a, b in zip(frame_ids, frame_ids[1:])), (
+        'point_specs frame indices must be non-decreasing for the fused '
+        f'DH score kernel backward pass, got {frame_ids}')
     base = robot._base_soa()
     if base is not None:
         base = (tuple(base[0]), tuple(base[1]))
@@ -381,7 +393,17 @@ def chain_score_grad_available(robot, batch: int) -> bool:
 def dh_polyharmonic_score(q, supports, weights, spec):
     """Polyharmonic DiffCo score through DH-chain FK, [B, 1]; one fused
     kernel computes the score and its configuration gradient (the VJP
-    residual) in a single pass."""
+    residual) in a single pass.
+
+    DIFFERENTIATION CONTRACT: differentiable w.r.t. ``q`` ONLY.
+    ``supports``/``weights`` are treated as trained constants — their
+    cotangents are defined as zero (the fused backward never computes
+    them), and forward mode (jvp/jacfwd/hessian) raises because this is a
+    custom_vjp. Callers that need d(score)/d(supports or weights), or any
+    forward-mode derivative, must stay on the small-batch XLA route
+    (fused_score.polyharmonic_score below _FK_FUSED_MIN_BATCH), which is
+    twice-differentiable in every argument.
+    """
     score, _ = _dh_score_grad_pallas(q, supports, weights, spec)
     return score[:, None]
 

@@ -181,10 +181,30 @@ def _adam_traj_core(start_cfg, target_cfg, limits, init_first, key,
     return solution, cost, any_found, step_sel, hists
 
 
+def _trial_sharding_from_options(o, num_trials):
+    """Resolve options['mesh'] into a NamedSharding over the restart axis
+    (rounding trials up to a device multiple). Returns (sharding, trials).
+
+    Passing ``mesh`` in the options dict makes any optimizer here run its
+    restarts device-parallel — the same compiled program, partitioned by
+    GSPMD over the mesh's first axis (extra restarts from rounding only
+    raise the chance of finding a valid path)."""
+    mesh = o.get('mesh')
+    if mesh is None:
+        return None, num_trials
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel.sharding import data_axis
+    ax = data_axis(mesh)
+    n_dev = int(mesh.shape[ax])
+    num_trials = -(-num_trials // n_dev) * n_dev
+    return NamedSharding(mesh, PartitionSpec(ax)), num_trials
+
+
 def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     """Penalty-method Adam trajectory optimization (ref optim.py:13-163).
 
-    Returns the reference's record dict:
+    ``options['mesh']`` (a jax.sharding.Mesh) shards the restarts across
+    devices. Returns the reference's record dict:
     {start_cfg, target_cfg, cnt_check, cost, time, success, seed, solution}.
     """
     o = _default_options(options)
@@ -211,12 +231,16 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
                          else robot.joint_limits, jnp.float32)
     margin = jnp.asarray(o['safety_margin'], jnp.float32)
 
+    trial_sharding, num_trials = _trial_sharding_from_options(
+        o, int(o['NUM_RE_TRIALS']))
+
     start_t = time.time()
     solution, cost, success, step_sel, _ = _adam_traj_core(
         start_cfg, target_cfg, limits, init_first, key,
-        fkine, dist_est, n_waypoints, int(o['NUM_RE_TRIALS']),
+        fkine, dist_est, n_waypoints, num_trials,
         int(o['MAXITER']), lr, margin, float(o['max_speed']),
-        history=bool(o['history']), dense_sub=int(o.get('dense_sub', 1)))
+        history=bool(o['history']), dense_sub=int(o.get('dense_sub', 1)),
+        trial_sharding=trial_sharding)
     solution = np.asarray(jax.device_get(solution))
     elapsed = time.time() - start_t
 
@@ -228,7 +252,7 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     return {
         'start_cfg': np.asarray(start_cfg).tolist(),
         'target_cfg': np.asarray(target_cfg).tolist(),
-        'cnt_check': int(o['NUM_RE_TRIALS']) * int(o['MAXITER']) * n_check,
+        'cnt_check': num_trials * int(o['MAXITER']) * n_check,
         'cost': float(cost),
         'time': elapsed,
         'success': bool(success),
@@ -244,12 +268,13 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
 @functools.partial(
     jax.jit,
     static_argnames=('robot_fkine', 'dist_est', 'n_waypoints', 'num_trials',
-                     'outer_iters', 'inner_iters', 'lr', 'num_sub'))
+                     'outer_iters', 'inner_iters', 'lr', 'num_sub',
+                     'trial_sharding'))
 def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
                   robot_fkine: Callable, dist_est: Callable,
                   n_waypoints: int, num_trials: int, outer_iters: int,
                   inner_iters: int, lr: float, safety_margin,
-                  num_sub: int):
+                  num_sub: int, trial_sharding=None):
     """Augmented-Lagrangian trajopt, vmapped over restarts.
 
     Constraints (match givengrad_traj_optimize, optim.py:190-226):
@@ -290,6 +315,8 @@ def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
     inits = rand.at[0].set(init_first)
     inits = inits.at[:, 0].set(start_cfg)
     inits = inits.at[:, -1].set(target_cfg)
+    if trial_sharding is not None:
+        inits = lax.with_sharding_constraint(inits, trial_sharding)
 
     endpoint_mask = jnp.ones((n_waypoints, 1), start_cfg.dtype)
     endpoint_mask = endpoint_mask.at[0].set(0.0).at[-1].set(0.0)
@@ -341,7 +368,8 @@ def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
 def al_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     """On-device augmented-Lagrangian trajectory optimization — the
     TPU-native replacement for the scipy SLSQP / trust-constr paths
-    (ref optim.py:166-516). Same record format as adam_traj_optimize."""
+    (ref optim.py:166-516). Same record format as adam_traj_optimize;
+    ``options['mesh']`` shards the restarts across devices."""
     o = _default_options(options)
     o.setdefault('outer_iters', 10)
     o.setdefault('inner_iters', max(1, int(o['MAXITER']) // 10))
@@ -360,18 +388,21 @@ def al_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
                          else robot.joint_limits, jnp.float32)
     margin = jnp.asarray(o['safety_margin'], jnp.float32)
 
+    trial_sharding, num_trials = _trial_sharding_from_options(
+        o, int(o['NUM_RE_TRIALS']))
+
     start_t = time.time()
     solution, cost, success, max_viol = _al_traj_core(
         start_cfg, target_cfg, limits, init_first, key,
-        robot.fkine, dist_est, n_waypoints, int(o['NUM_RE_TRIALS']),
+        robot.fkine, dist_est, n_waypoints, num_trials,
         int(o['outer_iters']), int(o['inner_iters']), lr, margin,
-        int(o['num_sub']))
+        int(o['num_sub']), trial_sharding=trial_sharding)
     elapsed = time.time() - start_t
     n_dense = (n_waypoints - 1) * int(o['num_sub']) + 1
     return {
         'start_cfg': np.asarray(start_cfg).tolist(),
         'target_cfg': np.asarray(target_cfg).tolist(),
-        'cnt_check': int(o['NUM_RE_TRIALS']) * int(o['outer_iters'])
+        'cnt_check': num_trials * int(o['outer_iters'])
         * int(o['inner_iters']) * n_dense,
         'cost': float(cost),
         'time': elapsed,

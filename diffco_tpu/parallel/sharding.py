@@ -43,6 +43,13 @@ def make_mesh(axis_names: Sequence[str] = ('dp', 'tp'),
     return Mesh(dev_array, axis_names)
 
 
+def data_axis(mesh: Mesh) -> str:
+    """The mesh axis used for batch/data sharding — by convention the
+    first axis name (the product APIs — checkers, optimizers — shard
+    their embarrassingly-parallel batch dimensions over it)."""
+    return mesh.axis_names[0]
+
+
 def shard_batch(x, mesh: Mesh, axis: str = 'dp'):
     """Place an array with its leading dim sharded over ``axis``."""
     spec = P(axis, *([None] * (x.ndim - 1)))
@@ -85,14 +92,25 @@ def sharded_label_sweep(gt_fn: Callable, q, mesh: Mesh, axis: str = 'dp'):
 
 
 def support_parallel_score_fn(supports, weights, valid_mask, mesh: Mesh,
-                              axis: str = 'tp', epsilon: float = 1.0):
-    """Polyharmonic score with the support dimension partitioned across
-    devices; partial scores reduce with a psum over ICI.
+                              axis: str = 'tp', epsilon: float = 1.0,
+                              kernel_func: Optional[Callable] = None):
+    """Kernel score ``k(x, S) @ w`` with the support dimension partitioned
+    across devices; partial scores reduce with a psum over ICI (the score
+    contraction is ref kernel_perceptrons.py:362-370).
+
+    ``kernel_func=None`` uses the serving default — polyharmonic k=1 with
+    ``epsilon`` folded into the weights. Any other ``KernelFunc``
+    (RQKernel, MultiQuadratic, ...) computes local kernel columns against
+    the device's support shard; padded support rows contribute nothing
+    because their (masked) weights are zero regardless of the kernel's
+    value at the zero-padding points.
 
     Returns a function q_flat [B, F] -> [B] usable under jit.
     """
     n_dev = mesh.shape[axis]
-    w = weights.reshape(-1) * valid_mask.astype(weights.dtype) / epsilon
+    w = weights.reshape(-1) * valid_mask.astype(weights.dtype)
+    if kernel_func is None:
+        w = w / epsilon
     sup, S = _pad_to_multiple(jnp.asarray(supports), n_dev)
     w, _ = _pad_to_multiple(w, n_dev)
 
@@ -101,12 +119,15 @@ def support_parallel_score_fn(supports, weights, valid_mask, mesh: Mesh,
         in_specs=(P(None, None), P(axis, None), P(axis)),
         out_specs=P(None))
     def _score(x, sup_local, w_local):
-        x2 = jnp.sum(x * x, axis=1, keepdims=True)
-        s2 = jnp.sum(sup_local * sup_local, axis=1, keepdims=True)
-        xs = jnp.dot(x, sup_local.T, preferred_element_type=jnp.float32,
-                     precision='highest')
-        r = jnp.sqrt(jnp.maximum(x2 + s2.T - 2.0 * xs, 0.0) + 1e-12)
-        partial = jnp.sum(r * w_local[None, :], axis=1)
+        if kernel_func is None:
+            x2 = jnp.sum(x * x, axis=1, keepdims=True)
+            s2 = jnp.sum(sup_local * sup_local, axis=1, keepdims=True)
+            xs = jnp.dot(x, sup_local.T, preferred_element_type=jnp.float32,
+                         precision='highest')
+            kv = jnp.sqrt(jnp.maximum(x2 + s2.T - 2.0 * xs, 0.0) + 1e-12)
+        else:
+            kv = kernel_func(x, sup_local)
+        partial = jnp.sum(kv * w_local[None, :], axis=1)
         return jax.lax.psum(partial, axis)
 
     def fn(x):

@@ -193,22 +193,27 @@ def perceptron_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
 def multiclass_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
                           max_iteration: int, num_class: int,
                           init_gains: Optional[jnp.ndarray] = None,
-                          init_hypothesis: Optional[jnp.ndarray] = None):
+                          init_hypothesis: Optional[jnp.ndarray] = None,
+                          valid_mask: Optional[jnp.ndarray] = None):
     """Per-class greedy updates over a shared Gram matrix
     (ref MultiDiffCo.train_perceptron :574-607). Classes update
-    concurrently each iteration (vmapped single-class step)."""
+    concurrently each iteration (vmapped single-class step).
+    ``valid_mask`` marks real rows; padded rows (mesh-divisible padding)
+    are never selected for update or removal."""
     N = y.shape[0]
     y = y.astype(K.dtype)           # [N, C]
     diagK = jnp.diag(K)
     target = jnp.where(y > 0, jnp.asarray(beta, K.dtype),
                        jnp.asarray(-1.0, K.dtype))
+    valid = (jnp.ones(N, bool) if valid_mask is None
+             else valid_mask.reshape(-1))
 
     def class_step(gains_c, hyp_c, y_c, target_c):
-        margin = y_c * hyp_c
+        margin = jnp.where(valid, y_c * hyp_c, jnp.inf)
         min_i = jnp.argmin(margin)
         take_update = margin[min_i] <= 0
         delta_update = (target_c[min_i] - hyp_c[min_i]) / diagK[min_i]
-        modified = y_c * (hyp_c - gains_c * diagK) * (gains_c != 0)
+        modified = y_c * (hyp_c - gains_c * diagK) * (gains_c != 0) * valid
         max_i = jnp.argmax(modified)
         removable = jnp.logical_and(modified[max_i] > 0,
                                     jnp.sum(gains_c != 0) > 1)
@@ -249,7 +254,8 @@ def multiclass_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
                                kernel_func, beta: float,
                                max_iteration: int, num_class: int,
                                init_gains: Optional[jnp.ndarray] = None,
-                               init_hypothesis: Optional[jnp.ndarray] = None):
+                               init_hypothesis: Optional[jnp.ndarray] = None,
+                               valid_mask: Optional[jnp.ndarray] = None):
     """Lazy-row variant of :func:`multiclass_train_loop` — O(N * C) memory.
 
     Each iteration picks one (update-or-removal) index per class from the
@@ -263,13 +269,15 @@ def multiclass_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
         lambda r: kernel_func(r[None], r[None])[0, 0])(Xt)
     target = jnp.where(y > 0, jnp.asarray(beta, Xt.dtype),
                        jnp.asarray(-1.0, Xt.dtype))
+    valid = (jnp.ones(N, bool) if valid_mask is None
+             else valid_mask.reshape(-1))
 
     def class_pick(gains_c, hyp_c, y_c, target_c):
-        margin = y_c * hyp_c
+        margin = jnp.where(valid, y_c * hyp_c, jnp.inf)
         min_i = jnp.argmin(margin)
         take_update = margin[min_i] <= 0
         delta_update = (target_c[min_i] - hyp_c[min_i]) / diagK[min_i]
-        modified = y_c * (hyp_c - gains_c * diagK) * (gains_c != 0)
+        modified = y_c * (hyp_c - gains_c * diagK) * (gains_c != 0) * valid
         max_i = jnp.argmax(modified)
         removable = jnp.logical_and(modified[max_i] > 0,
                                     jnp.sum(gains_c != 0) > 1)
@@ -381,7 +389,8 @@ class DiffCo(Perceptron):
 
     def __init__(self, kernel_func='rq', gamma=1, beta=1,
                  transform: Optional[Callable] = None,
-                 max_batch_size=None, max_num_supports: Optional[int] = None):
+                 max_batch_size=None, max_num_supports: Optional[int] = None,
+                 mesh=None):
         super().__init__()
         self.kernel_func = (RQKernel(gamma) if kernel_func == 'rq'
                             else kernel_func)
@@ -391,6 +400,12 @@ class DiffCo(Perceptron):
         # rows above which train() switches from the dense-Gram trainer to
         # the O(N)-memory lazy-row trainer (perceptron_train_loop_lazy)
         self.lazy_gram_threshold = 16384
+        # a jax.sharding.Mesh scales training out over devices: the Gram
+        # build / lazy feature rows are sharded over the mesh's first axis
+        # and the SAME greedy train loop runs under GSPMD (no reference
+        # counterpart — the reference is single-device, SURVEY §2.3)
+        self.mesh = mesh
+        self._kernel_jit = None  # per-instance jitted kernel (sharded Gram)
 
         self.support_points = None       # [S, dof]
         self.support_transformed = None  # [S, ...]
@@ -428,23 +443,65 @@ class DiffCo(Perceptron):
     def valid_supports(self):
         return self.num_valid
 
+    def _mesh_parts(self, Xt, y):
+        """Pad (to the mesh's data-axis size) and place training arrays for
+        a sharded run. Returns (Xt_sharded, Xt_replicated, y_padded, valid)
+        with the padded row count a device multiple; the valid mask keeps
+        padded rows out of the greedy selection."""
+        from .parallel.sharding import (_pad_to_multiple, shard_batch,
+                                        replicate, data_axis)
+        ax = data_axis(self.mesh)
+        n_dev = self.mesh.shape[ax]
+        N = Xt.shape[0]
+        Xtp, _ = _pad_to_multiple(Xt, n_dev)
+        yp, _ = _pad_to_multiple(y, n_dev)
+        valid = jnp.arange(Xtp.shape[0]) < N
+        return (shard_batch(Xtp, self.mesh, ax), replicate(Xtp, self.mesh),
+                yp, valid, ax)
+
     # -- training ---------------------------------------------------------
 
     def train(self, X, y, update=False, exist_mask=None, max_iteration=1000,
               method='original', distance=None, verbose=False):
         """Train the perceptron (ref :56-76). ``update=True`` warm-starts
         from the current support set; ``exist_mask`` marks rows of X that
-        are the previous supports (ref :222-269)."""
+        are the previous supports (ref :222-269).
+
+        With ``self.mesh`` set the dataset is padded to a device multiple
+        and the SAME jitted programs run under GSPMD: the Gram build is
+        row-sharded (dense path) or the feature rows are sharded (lazy
+        path); results are numerically identical to the single-device run
+        (tests/test_parallel.py parity suite)."""
         del method
         X = jnp.asarray(X)
         y = jnp.asarray(y).reshape(-1)
+        N = X.shape[0]
         # past ~16k rows the dense [N, N] Gram precompute (the TPU-side win
         # over the reference's lazy rows at typical 5-10k scales) stops
         # paying for its O(N^2) HBM footprint; switch to the lazy-row
         # trainer (O(N) memory, identical update sequence)
-        lazy = X.shape[0] > self.lazy_gram_threshold
+        lazy = N > self.lazy_gram_threshold
         Xt = self._apply_transform(X)
-        K = None if lazy else self.kernel_func(Xt, Xt)
+
+        valid = None
+        if self.mesh is not None:
+            from .parallel.sharding import shard_batch
+            Xs, Xr, yp, valid_full, ax = self._mesh_parts(Xt, y)
+            if lazy:
+                K = None
+                Xt_train = Xs
+                y_train = shard_batch(yp, self.mesh, ax)
+                valid = shard_batch(valid_full, self.mesh, ax)
+            else:
+                if self._kernel_jit is None:
+                    self._kernel_jit = jax.jit(self.kernel_func)
+                K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
+                Xt_train = Xt
+                y_train = yp
+                valid = valid_full
+        else:
+            K = None if lazy else self.kernel_func(Xt, Xt)
+            Xt_train, y_train = Xt, y
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
@@ -456,7 +513,7 @@ class DiffCo(Perceptron):
             em = np.asarray(exist_mask)
             exist_idx = np.where(em)[0]
             vg = np.asarray(self.gains) * np.asarray(self.valid_mask)
-            prev = np.zeros(X.shape[0], np.float32)
+            prev = np.zeros(N, np.float32)
             prev[exist_idx] = vg[:len(exist_idx)]
             init_gains = jnp.asarray(prev)
             if lazy:
@@ -468,16 +525,38 @@ class DiffCo(Perceptron):
                     self.kernel_func(Xt, self.support_transformed),
                     jnp.asarray(vg), precision='highest')
             else:
-                init_hyp = jnp.matmul(K, init_gains, precision='highest')
+                init_hyp = jnp.matmul(K[:, :N] if self.mesh is not None
+                                      else K, init_gains,
+                                      precision='highest')
+            if self.mesh is not None:
+                from .parallel.sharding import _pad_to_multiple, shard_batch
+                from .parallel.sharding import replicate, data_axis
+                ax = data_axis(self.mesh)
+                n_dev = self.mesh.shape[ax]
+                init_gains, _ = _pad_to_multiple(init_gains, n_dev)
+                if lazy:
+                    init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
+                    init_gains = shard_batch(init_gains, self.mesh, ax)
+                    init_hyp = shard_batch(init_hyp, self.mesh, ax)
+                else:
+                    init_gains = replicate(init_gains, self.mesh)
+                    # dense-mesh init_hyp is already the full padded length
+                    # (K is [Np, Np]); no extra padding needed
 
         if lazy:
             gains, hyp, it = perceptron_train_loop_lazy(
-                Xt, y, self.kernel_func, self.beta, int(max_iteration),
-                init_gains=init_gains, init_hypothesis=init_hyp)
+                Xt_train, y_train, self.kernel_func, self.beta,
+                int(max_iteration),
+                init_gains=init_gains, init_hypothesis=init_hyp,
+                valid_mask=valid)
         else:
             gains, hyp, it = perceptron_train_loop(
-                K, y, self.beta, int(max_iteration),
-                init_gains=init_gains, init_hypothesis=init_hyp)
+                K, y_train, self.beta, int(max_iteration),
+                init_gains=init_gains, init_hypothesis=init_hyp,
+                valid_mask=valid)
+        if self.mesh is not None:
+            gains, hyp = gains[:N], hyp[:N]
+            K = None   # support Gram is recomputed from the kept rows
         self.train_iterations = int(it)
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))
@@ -581,7 +660,15 @@ class DiffCo(Perceptron):
     # -- inference ----------------------------------------------------------
 
     def poly_score(self, point=None, transformed_point=None):
-        """Smooth surrogate score (ref :309-319). Returns [B, 1]."""
+        """Smooth surrogate score (ref :309-319). Returns [B, 1].
+
+        Differentiation contract: gradients w.r.t. the QUERY point only.
+        At batch >= ops.fk_score._FK_FUSED_MIN_BATCH on TPU this routes
+        through fused custom-VJP kernels that treat the trained state
+        (support_transformed / rbf_nodes) as constants — their cotangents
+        are zero and forward mode raises there. Below the gate the XLA
+        route is twice-differentiable in every argument; code needing
+        d(score)/d(trained state) must keep batches under the gate."""
         is_poly1 = (isinstance(self.rbf_kernel, Polyharmonic)
                     and self.rbf_kernel.k == 1)
         if transformed_point is None:
@@ -646,10 +733,10 @@ class DiffCoBeta(DiffCo):
     regularized RBF solve of the signed distance (ref :373-540)."""
 
     def __init__(self, kernel_func='rq', rbf_kernel=None, gamma=1, beta=1,
-                 transform=None, max_num_supports=None):
+                 transform=None, max_num_supports=None, mesh=None):
         super().__init__(kernel_func=kernel_func, gamma=gamma, beta=beta,
                          transform=transform,
-                         max_num_supports=max_num_supports)
+                         max_num_supports=max_num_supports, mesh=mesh)
         self.rbf_kernel = (Polyharmonic(k=1, epsilon=1)
                            if rbf_kernel is None else rbf_kernel)
 
@@ -713,10 +800,10 @@ class MultiDiffCo(DiffCo):
     (ref :543-730)."""
 
     def __init__(self, kernel_func='rq', gamma=1, beta=1, transform=None,
-                 max_num_supports=None):
+                 max_num_supports=None, mesh=None):
         super().__init__(kernel_func=kernel_func, gamma=gamma, beta=beta,
                          transform=transform,
-                         max_num_supports=max_num_supports)
+                         max_num_supports=max_num_supports, mesh=mesh)
         self.num_class = None
 
     def train(self, X, y, update=False, exist_mask=None, max_iteration=1000,
@@ -726,9 +813,29 @@ class MultiDiffCo(DiffCo):
         y = jnp.asarray(y)
         assert y.ndim == 2, 'MultiDiffCo expects labels [N, num_class]'
         self.num_class = y.shape[1]
-        lazy = X.shape[0] > self.lazy_gram_threshold
+        N = X.shape[0]
+        lazy = N > self.lazy_gram_threshold
         Xt = self._apply_transform(X)
-        K = None if lazy else self.kernel_func(Xt, Xt)
+
+        valid = None
+        if self.mesh is not None:
+            from .parallel.sharding import shard_batch
+            Xs, Xr, yp, valid_full, ax = self._mesh_parts(Xt, y)
+            if lazy:
+                K = None
+                Xt_train = Xs
+                y_train = shard_batch(yp, self.mesh, ax)
+                valid = shard_batch(valid_full, self.mesh, ax)
+            else:
+                if self._kernel_jit is None:
+                    self._kernel_jit = jax.jit(self.kernel_func)
+                K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
+                Xt_train = Xt
+                y_train = yp
+                valid = valid_full
+        else:
+            K = None if lazy else self.kernel_func(Xt, Xt)
+            Xt_train, y_train = Xt, y
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
@@ -738,7 +845,7 @@ class MultiDiffCo(DiffCo):
             exist_idx = np.where(em)[0]
             vg = (np.asarray(self.gains)
                   * np.asarray(self.valid_mask)[:, None])
-            prev = np.zeros((X.shape[0], self.num_class), np.float32)
+            prev = np.zeros((N, self.num_class), np.float32)
             prev[exist_idx] = vg[:len(exist_idx)]
             init_gains = jnp.asarray(prev)
             if lazy:
@@ -746,17 +853,37 @@ class MultiDiffCo(DiffCo):
                     self.kernel_func(Xt, self.support_transformed),
                     jnp.asarray(vg), precision='highest')
             else:
-                init_hyp = jnp.matmul(K, init_gains, precision='highest')
+                init_hyp = jnp.matmul(K[:, :N] if self.mesh is not None
+                                      else K, init_gains,
+                                      precision='highest')
+            if self.mesh is not None:
+                from .parallel.sharding import (_pad_to_multiple,
+                                                shard_batch, replicate,
+                                                data_axis)
+                ax = data_axis(self.mesh)
+                n_dev = self.mesh.shape[ax]
+                init_gains, _ = _pad_to_multiple(init_gains, n_dev)
+                if lazy:
+                    init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
+                    init_gains = shard_batch(init_gains, self.mesh, ax)
+                    init_hyp = shard_batch(init_hyp, self.mesh, ax)
+                else:
+                    init_gains = replicate(init_gains, self.mesh)
 
         if lazy:
             gains, hyp, it = multiclass_train_loop_lazy(
-                Xt, y, self.kernel_func, self.beta, int(max_iteration),
-                self.num_class,
-                init_gains=init_gains, init_hypothesis=init_hyp)
+                Xt_train, y_train, self.kernel_func, self.beta,
+                int(max_iteration), self.num_class,
+                init_gains=init_gains, init_hypothesis=init_hyp,
+                valid_mask=valid)
         else:
             gains, hyp, it = multiclass_train_loop(
-                K, y, self.beta, int(max_iteration), self.num_class,
-                init_gains=init_gains, init_hypothesis=init_hyp)
+                K, y_train, self.beta, int(max_iteration), self.num_class,
+                init_gains=init_gains, init_hypothesis=init_hyp,
+                valid_mask=valid)
+        if self.mesh is not None:
+            gains, hyp = gains[:N], hyp[:N]
+            K = None   # support Gram is recomputed from the kept rows
         self.train_iterations = int(it)
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))
@@ -870,18 +997,93 @@ def multidim_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
     return gains, hyp, it
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('kernel_func', 'max_iteration'))
+def multidim_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
+                             kernel_func, beta: float,
+                             max_iteration: int,
+                             init_gains: Optional[jnp.ndarray] = None,
+                             init_hypothesis: Optional[jnp.ndarray] = None):
+    """Lazy-row variant of :func:`multidim_train_loop` — O(N * C) memory.
+
+    The [N, N, C] vector-valued Gram tensor is never materialized: the
+    per-point diagonal K_ii [N, C] is precomputed row-free, and each
+    while_loop iteration computes the single vector-valued Gram row it
+    needs, ``k(x_idx, X) [N, C]``. Update sequence matches the dense loop.
+    This is the large-N path for MultiDimDiffCo (the dense tensor is C
+    times an ordinary Gram, so it hits the HBM ceiling C times sooner).
+
+    Xt: [N, M, d] per-control-point features; kernel_func must be hashable
+    and map ([1, M, d], [N, M, d]) -> [1, N, C].
+    """
+    N = y.shape[0]
+    y = y.reshape(-1).astype(jnp.float32)
+    diagK = jax.vmap(
+        lambda r: kernel_func(r[None], r[None])[0, 0])(Xt)    # [N, C]
+    C = diagK.shape[-1]
+    target = jnp.where(y > 0, jnp.asarray(beta, jnp.float32),
+                       jnp.asarray(-1.0, jnp.float32))
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(jnp.logical_not(done), it < max_iteration)
+
+    def body(state):
+        gains, hyp, it, _ = state
+        margin = y * hyp
+        min_i = jnp.argmin(margin)
+        take_update = margin[min_i] <= 0
+        k_ii = diagK[min_i]
+        inv_k = k_ii / jnp.maximum(jnp.sum(k_ii ** 2), 1e-12)
+        delta_vec = (target[min_i] - hyp[min_i]) * inv_k    # [C]
+
+        delta_h = jnp.sum(diagK * gains, axis=-1)           # [N]
+        nonzero = jnp.any(gains != 0, axis=-1)
+        modified = y * (hyp - delta_h) * nonzero
+        max_i = jnp.argmax(modified)
+        removable = jnp.logical_and(modified[max_i] > 0,
+                                    jnp.sum(nonzero) > 1)
+        take_remove = jnp.logical_and(jnp.logical_not(take_update),
+                                      removable)
+        done = jnp.logical_and(jnp.logical_not(take_update),
+                               jnp.logical_not(removable))
+
+        idx = jnp.where(take_update, min_i, max_i)
+        delta = jnp.where(take_update, delta_vec,
+                          jnp.where(take_remove, -gains[max_i],
+                                    jnp.zeros(C, jnp.float32)))
+        row = kernel_func(Xt[idx][None], Xt)[0]             # [N, C] lazy
+        gains = gains.at[idx].add(delta)
+        hyp = hyp + row @ delta
+        return gains, hyp, it + 1, done
+
+    gains0 = (jnp.zeros((N, C), jnp.float32) if init_gains is None
+              else init_gains)
+    hyp0 = (jnp.zeros(N, jnp.float32) if init_hypothesis is None
+            else init_hypothesis)
+    gains, hyp, it, _ = lax.while_loop(
+        cond, body, (gains0, hyp0, jnp.asarray(0), jnp.asarray(False)))
+    return gains, hyp, it
+
+
 class MultiDimDiffCo(Perceptron):
     """Vector-gain perceptron: the kernel returns per-control-point values
     and each support carries a gain per control point
     (ref kernel_perceptrons.py:909-1301).
 
-    Note: the Gram tensor is [N, N, C]; keep N modest (<= a few thousand)
-    or supply ``max_num_supports``.
+    The Gram tensor is [N, N, C] — C times an ordinary Gram — so past
+    ``lazy_gram_threshold`` rows (default 4096) ``train`` switches to
+    :func:`multidim_train_loop_lazy`, which recomputes the single vector
+    Gram row it needs per iteration in O(N * C) memory.
     """
 
     def __init__(self, kernel_func=None, gamma=1, beta=1, transform=None,
-                 max_batch_size=None, max_num_supports=None):
+                 max_batch_size=None, max_num_supports=None, mesh=None):
         super().__init__()
+        if mesh is not None:
+            raise NotImplementedError(
+                'MultiDimDiffCo does not support mesh-sharded training; '
+                'use DiffCo/MultiDiffCo for multi-chip fits')
         from .kernels import MultiDimRQKernel
         self.kernel_func = (MultiDimRQKernel(gamma) if kernel_func is None
                             or kernel_func == 'multi_dim_rq'
@@ -889,6 +1091,9 @@ class MultiDimDiffCo(Perceptron):
         self.beta = float(beta)
         self.transform = transform
         self.max_num_supports = max_num_supports
+        # rows above which train() switches to the O(N*C)-memory lazy-row
+        # trainer; the dense [N, N, C] tensor is C times an ordinary Gram
+        self.lazy_gram_threshold = 4096
         self.support_points = None
         self.support_transformed = None
         self.gains = None
@@ -923,7 +1128,8 @@ class MultiDimDiffCo(Perceptron):
         X = jnp.asarray(X)
         y = jnp.asarray(y).reshape(-1)
         Xt = self._apply_transform(X)                 # [N, M, d]
-        K = self.kernel_func(Xt, Xt)                  # [N, N, C]
+        lazy = X.shape[0] > self.lazy_gram_threshold
+        K = None if lazy else self.kernel_func(Xt, Xt)  # [N, N, C]
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
@@ -940,15 +1146,27 @@ class MultiDimDiffCo(Perceptron):
             prev = np.zeros((X.shape[0], C), np.float32)
             prev[exist_idx] = vg[:len(exist_idx)]
             init_gains = jnp.asarray(prev)
-            init_hyp = jnp.sum(K * init_gains[None, :, :], axis=(1, 2))
+            if lazy:
+                # cross Gram vs the (padded, static-shape) support buffer:
+                # h_i = sum_s k(x_i, sup_s) . g_s, padded rows carry 0 gain
+                kx = self.kernel_func(Xt, self.support_transformed)
+                init_hyp = jnp.einsum('nsc,sc->n', kx, jnp.asarray(vg),
+                                      precision='highest')
+            else:
+                init_hyp = jnp.sum(K * init_gains[None, :, :], axis=(1, 2))
         elif update:
             raise ValueError('update=True requires a previously trained '
                              'MultiDimDiffCo (no gains present)')
 
-        gains, hyp, it = multidim_train_loop(K, y, self.beta,
-                                             int(max_iteration),
-                                             init_gains=init_gains,
-                                             init_hypothesis=init_hyp)
+        if lazy:
+            gains, hyp, it = multidim_train_loop_lazy(
+                Xt, y, self.kernel_func, self.beta, int(max_iteration),
+                init_gains=init_gains, init_hypothesis=init_hyp)
+        else:
+            gains, hyp, it = multidim_train_loop(K, y, self.beta,
+                                                 int(max_iteration),
+                                                 init_gains=init_gains,
+                                                 init_hypothesis=init_hyp)
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))
             print(f'MultiDimDiffCo ended at iteration {it}, ACC {acc:.4f}')
@@ -956,19 +1174,22 @@ class MultiDimDiffCo(Perceptron):
         count = int(jnp.sum(jnp.any(gains != 0, axis=-1)))
         S = self._pad_size(max(count, 2))
         idx, valid, num_valid = extract_supports(gains, S)
-        vf = valid.astype(K.dtype)
+        vf = valid.astype(jnp.float32)
         take = lambda a: jnp.take(a, idx, axis=0) * vf.reshape(
             (S,) + (1,) * (a.ndim - 1)).astype(a.dtype)
         self.support_points = take(X)
         self.support_transformed = take(Xt)
         self.gains = take(gains)
         self.hypothesis = take(hyp)
-        self.y = take(y.astype(K.dtype))
+        self.y = take(y.astype(jnp.float32))
         self.distance = (take(jnp.asarray(distance).reshape(-1))
                          if distance is not None else None)
-        self.kernel_matrix = (
-            jnp.take(jnp.take(K, idx, axis=0), idx, axis=1)
-            * vf[:, None, None] * vf[None, :, None])
+        if K is None:   # lazy: recompute the [S, S, C] support Gram
+            km = self.kernel_func(self.support_transformed,
+                                  self.support_transformed)
+        else:
+            km = jnp.take(jnp.take(K, idx, axis=0), idx, axis=1)
+        self.kernel_matrix = km * vf[:, None, None] * vf[None, :, None]
         self.valid_mask = valid
         self.num_valid = int(num_valid)
         self.rbf_nodes = jnp.zeros_like(self.gains)

@@ -76,6 +76,14 @@ class RevolutePlanarRobot(Model):
         self.link_length = jnp.asarray(link_length, dtype=jnp.float32)
         self.limits = jnp.asarray(limits, dtype=jnp.float32)
 
+    def geom_static_key(self):
+        """Hashable static-geometry key: lets compiled geometry programs
+        (geometry2d._planar_sd_fns) be cached per distinct geometry instead
+        of per instance, so robots constructed in loops don't each leak a
+        compiled program into the process-lifetime jit cache."""
+        return (type(self).__name__, self.dof, self.link_width,
+                tuple(np.asarray(self.link_length, np.float64).tolist()))
+
     def fkine(self, q):
         q = jnp.reshape(q, (-1, self.dof))
         ang = jnp.cumsum(q, axis=1)

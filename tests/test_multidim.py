@@ -98,3 +98,54 @@ def test_multiclass_full_poly(key):
     sup_y = np.asarray(clf.y[:nv])
     agree = np.mean((sup_scores > 0) == (sup_y > 0))
     assert agree > 0.9
+
+
+def test_multidim_lazy_matches_dense(key):
+    """The O(N*C) lazy-row trainer (multidim_train_loop_lazy) must
+    reproduce the dense [N, N, C] trainer's update sequence exactly."""
+    from diffco_tpu.perceptron import (multidim_train_loop,
+                                       multidim_train_loop_lazy)
+    k1, k2 = jax.random.split(key)
+    Xt = jax.random.normal(k1, (60, 3, 2))
+    y = jnp.sign(jax.random.normal(k2, (60,)))
+    kern = kernels.MultiDimRQKernel(5.0)
+    K = kern(Xt, Xt)
+    g_d, h_d, it_d = multidim_train_loop(K, y, 1.0, 500)
+    g_l, h_l, it_l = multidim_train_loop_lazy(Xt, y, kern, 1.0, 500)
+    assert int(it_d) == int(it_l)
+    assert np.allclose(np.asarray(g_d), np.asarray(g_l), atol=1e-4)
+    assert np.allclose(np.asarray(h_d), np.asarray(h_l), atol=1e-4)
+
+
+def test_multidim_train_switches_to_lazy(key):
+    """Past lazy_gram_threshold rows MultiDimDiffCo.train runs without
+    materializing the [N, N, C] tensor and still learns the world."""
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([('circle', (1.5, 1.0), 0.6)])
+    q = robot.rand_configs(400, key)
+    sd = planar_robot_signed_dist(robot, obs, q)
+    y = (jnp.max(sd, -1) > 0) * 2.0 - 1.0
+    clf = MultiDimDiffCo(kernel_func=kernels.MultiDimRQKernel(10.0),
+                         transform=lambda x: robot.fkine(x))
+    clf.lazy_gram_threshold = 128       # force the lazy route
+    clf.train(q, y, max_iteration=1200)
+    score = np.asarray(clf.score_original(q)).reshape(-1)
+    acc = np.mean((score > 0) == (np.asarray(y) > 0))
+    assert acc > 0.85
+    # support Gram was recomputed from kept rows (K never existed)
+    assert clf.kernel_matrix.shape[0] == clf.kernel_matrix.shape[1]
+
+    # warm-started update on the lazy route: dataset = new rows + the
+    # previous supports (the checkers' update contract)
+    nv = clf.num_valid
+    sup = clf.support_points[:nv]
+    q2 = jnp.concatenate([q, sup], axis=0)
+    sd2 = planar_robot_signed_dist(robot, obs, q2)
+    y2 = (jnp.max(sd2, -1) > 0) * 2.0 - 1.0
+    exist_mask = np.zeros(q2.shape[0], bool)
+    exist_mask[-nv:] = True
+    clf.train(q2, y2, update=True, exist_mask=exist_mask,
+              max_iteration=1200)
+    score2 = np.asarray(clf.score_original(q2)).reshape(-1)
+    acc2 = np.mean((score2 > 0) == (np.asarray(y2) > 0))
+    assert acc2 > 0.85

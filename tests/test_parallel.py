@@ -55,6 +55,25 @@ def test_support_parallel_score(mesh, key):
     assert np.allclose(got, want, atol=1e-3)
 
 
+def test_support_parallel_score_generic_kernel(mesh, key):
+    """tp sharding with an arbitrary KernelFunc (not just the inlined
+    polyharmonic): partial kernel columns + psum must match the
+    single-device masked contraction for RQ and MultiQuadratic."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    supports = jax.random.normal(k1, (90, 6))   # 90 % 2 != 0 -> pads
+    weights = jax.random.normal(k2, (90,))
+    valid = jnp.arange(90) < 71
+    x = jax.random.normal(k3, (32, 6))
+    for kern in (kernels.RQKernel(5.0), kernels.MultiQuadratic(1.0)):
+        fn = support_parallel_score_fn(supports, weights, valid, mesh,
+                                       kernel_func=kern)
+        got = np.asarray(jax.jit(fn)(x)).reshape(-1)
+        kv = kern(x, supports) * valid.astype(jnp.float32)[None, :]
+        want = np.asarray(jnp.matmul(kv, weights,
+                                     precision='highest')).reshape(-1)
+        assert np.allclose(got, want, atol=1e-3), type(kern).__name__
+
+
 def test_sharded_gram(mesh, key):
     X = jax.random.normal(key, (50, 4))
     kern = kernels.RQKernel(5.0)
@@ -227,3 +246,92 @@ def test_distributed_fit_lazy_padding_and_warm_start(mesh, key):
     assert int(it2) <= int(it)
     acc = float(jnp.mean((h2 > 0) == (y > 0)))
     assert acc > 0.8
+
+
+# ---------------------------------------------------------------------------
+# PRODUCT-SURFACE multi-chip tests: the public checker/optimizer APIs with
+# mesh=, asserting parity with the single-device path (VERDICT r2 item #1)
+
+
+def _planar_world():
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([
+        ('circle', (1.5, 1.0), 0.6), ('rect', (-1.2, -1.0), (1.0, 1.0))])
+
+    def gt(qq):
+        from diffco_tpu.geometry import planar_robot_collision
+        return planar_robot_collision(robot, obs, qq)
+
+    return robot, obs, gt
+
+
+def test_checker_mesh_fit_parity(mesh):
+    """RBFDiffCo(mesh=...) must reproduce the single-device fit exactly:
+    same support count, same verify metrics, same scores (same seed ->
+    same host RNG stream -> same dataset; the sharded trainer is the same
+    XLA program partitioned)."""
+    import diffco_tpu as dc
+    robot, obs, gt = _planar_world()
+
+    ck_ref = dc.RBFDiffCo(robot=robot, gt_check_func=gt, seed=5)
+    acc_ref = ck_ref.fit(num_samples=512, verify_ratio=0.2)
+
+    ck_mesh = dc.RBFDiffCo(robot=robot, gt_check_func=gt, seed=5, mesh=mesh)
+    acc_mesh = ck_mesh.fit(num_samples=512, verify_ratio=0.2)
+
+    assert ck_mesh.perceptron.num_valid == ck_ref.perceptron.num_valid
+    assert np.allclose(acc_mesh, acc_ref, atol=1e-6)
+    q = robot.rand_configs(64, jax.random.PRNGKey(9))
+    s_ref = np.asarray(ck_ref.collision_score(q)).reshape(-1)
+    s_mesh = np.asarray(ck_mesh.collision_score(q)).reshape(-1)
+    assert np.allclose(s_mesh, s_ref, atol=1e-3)
+
+
+def test_checker_mesh_update_and_lazy(mesh):
+    """update() on a meshed checker (warm start + sharded refit) and the
+    sharded lazy-row route (forced via a tiny threshold) both work through
+    the public API."""
+    import diffco_tpu as dc
+    robot, obs, gt = _planar_world()
+    ck = dc.RBFDiffCo(robot=robot, gt_check_func=gt, seed=3, mesh=mesh)
+    acc, tpr, tnr = ck.fit(num_samples=512, verify_ratio=0.2)
+    assert acc > 0.8
+    acc2, _, _ = ck.update(num_samples=64, verify=True)
+    assert acc2 > 0.75
+
+    ck_lazy = dc.RBFDiffCo(robot=robot, gt_check_func=gt, seed=3, mesh=mesh)
+    ck_lazy.perceptron.lazy_gram_threshold = 128   # force sharded lazy rows
+    acc3, _, _ = ck_lazy.fit(num_samples=512, verify_ratio=0.2)
+    assert acc3 > 0.8
+
+
+def test_trajopt_mesh_option_parity(mesh):
+    """adam_traj_optimize(options={'mesh': ...}) == the unsharded run when
+    trials already divide the mesh; al_traj_optimize rounds trials up and
+    still returns a finite record."""
+    from diffco_tpu import optim
+    robot, obs, gt = _planar_world()
+    import diffco_tpu as dc
+    ck = dc.RBFDiffCo(robot=robot, gt_check_func=gt, seed=1)
+    ck.fit(num_samples=512, verify_ratio=0.2)
+    dist_est = ck.score_fn()
+    start = jnp.asarray([-2.0, 0.0])
+    target = jnp.asarray([2.0, 0.0])
+    options = {'N_WAYPOINTS': 10, 'NUM_RE_TRIALS': 8, 'MAXITER': 30,
+               'seed': 0}
+    rec_ref = optim.adam_traj_optimize(robot, dist_est, start, target,
+                                       options)
+    rec_mesh = optim.adam_traj_optimize(robot, dist_est, start, target,
+                                        {**options, 'mesh': mesh})
+    assert rec_mesh['success'] == rec_ref['success']
+    assert np.allclose(rec_mesh['cost'], rec_ref['cost'],
+                       rtol=1e-3, atol=1e-4)
+    assert np.allclose(np.asarray(rec_mesh['solution']),
+                       np.asarray(rec_ref['solution']),
+                       rtol=1e-3, atol=1e-4)
+
+    rec_al = optim.al_traj_optimize(
+        robot, dist_est, start, target,
+        {'N_WAYPOINTS': 8, 'NUM_RE_TRIALS': 3,   # rounds up to 4 on dp
+         'MAXITER': 30, 'seed': 0, 'mesh': mesh})
+    assert np.all(np.isfinite(np.asarray(rec_al['solution'])))
