@@ -618,8 +618,17 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     torch.autograd.functional.hessian, ref :380-391), and the cost/limit
     gradients. Use ``al_traj_optimize`` for the on-device path; this one
     exists for method-parity benchmarking (speed_compare methods list).
+
+    On a remote device the wall time is dominated by HOST<->DEVICE
+    dispatches (profiled ~800 callbacks/problem; each is a tunnel round
+    trip), so value+jacobian (and cost+gradient) are computed in ONE
+    jitted dispatch memoized on x — scipy always evaluates them at the
+    same points. ``options['constraint_hess']='bfgs'`` replaces the
+    analytic constraint Hessian with scipy's quasi-Newton update,
+    removing the Hessian dispatches entirely (~30% fewer round trips,
+    usually similar success rate).
     """
-    from scipy.optimize import minimize, NonlinearConstraint
+    from scipy.optimize import minimize, NonlinearConstraint, BFGS
     o = _default_options(options)
     n_waypoints = int(o['N_WAYPOINTS'])
     dof = int(start_cfg.shape[-1])
@@ -658,23 +667,55 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
         cp = robot.fkine(assemble(x))
         return jnp.sum((cp[1:] - cp[:-1]) ** 2)
 
-    f_col = jax.jit(con_collision)
-    jac_col = jax.jit(jax.jacrev(con_collision))
+    # ONE dispatch per x: collision value + jacobian + joint-limit value +
+    # jacobian together (scipy queries them at the same x back to back)
+    col_val_jac = jax.jit(lambda x: (con_collision(x),
+                                     jax.jacrev(con_collision)(x),
+                                     con_jl(x), jax.grad(con_jl)(x)))
+    cost_val_grad = jax.jit(lambda x: (cost(x), jax.grad(cost)(x)))
     # constraint Hessian: H(x, v) = d^2/dx^2 [v . c(x)]  (ref :380-391)
     hess_col = jax.jit(jax.hessian(
         lambda x, v: jnp.dot(con_collision(x), v)))
-    f_jl = jax.jit(con_jl)
-    grad_jl = jax.jit(jax.grad(con_jl))
-    f_cost = jax.jit(cost)
-    grad_cost = jax.jit(jax.grad(cost))
 
     n_free = (n_waypoints - 2) * dof
     cnt_check = 0
+    memo = {}
+
+    def _bundle(x):
+        key = np.asarray(x, np.float64).tobytes()
+        if memo.get('key') != key:
+            nonlocal cnt_check
+            cnt_check += n_dense
+            cv, cj, jv, jj = col_val_jac(jnp.asarray(x, jnp.float32))
+            memo.update(key=key,
+                        col=np.asarray(cv, np.float64),
+                        col_jac=np.asarray(cj, np.float64).reshape(
+                            n_waypoints - 1, n_free),
+                        jl=float(jv),
+                        jl_jac=np.asarray(jj, np.float64).reshape(1, -1))
+        return memo
+
+    cost_memo = {}
+
+    def _cost_bundle(x):
+        key = np.asarray(x, np.float64).tobytes()
+        if cost_memo.get('key') != key:
+            fv, gv = cost_val_grad(jnp.asarray(x, jnp.float32))
+            cost_memo.update(key=key, f=float(fv),
+                             g=np.asarray(gv, np.float64).reshape(-1))
+        return cost_memo
+
+    use_bfgs_hess = str(o.get('constraint_hess', 'analytic')) == 'bfgs'
+    if use_bfgs_hess:
+        hess_arg = BFGS()
+    else:
+        hess_arg = lambda x, v: np.asarray(
+            hess_col(jnp.asarray(x, jnp.float32),
+                     jnp.asarray(v, jnp.float32)),
+            np.float64).reshape(n_free, n_free)
 
     def count_col(x):
-        nonlocal cnt_check
-        cnt_check += n_dense
-        return np.asarray(f_col(x), np.float64)
+        return _bundle(x)['col']
 
     start_t = time.time()
     success = False
@@ -690,24 +731,18 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
                          * (limits[:, 1] - limits[:, 0]) + limits[:, 0])
         init_path[0], init_path[-1] = start_np, target_np
         res = minimize(
-            lambda x: float(f_cost(x)),
+            lambda x: _cost_bundle(x)['f'],
             init_path[1:-1].reshape(-1),
-            jac=lambda x: np.asarray(grad_cost(x), np.float64).reshape(-1),
+            jac=lambda x: _cost_bundle(x)['g'],
             method='trust-constr',
             constraints=[
                 NonlinearConstraint(
                     count_col, 0, np.inf,
-                    jac=lambda x: np.asarray(
-                        jac_col(x), np.float64).reshape(
-                            n_waypoints - 1, n_free),
-                    hess=lambda x, v: np.asarray(
-                        hess_col(jnp.asarray(x, jnp.float32),
-                                 jnp.asarray(v, jnp.float32)),
-                        np.float64).reshape(n_free, n_free)),
+                    jac=lambda x: _bundle(x)['col_jac'],
+                    hess=hess_arg),
                 NonlinearConstraint(
-                    lambda x: float(f_jl(x)), 0, np.inf,
-                    jac=lambda x: np.asarray(
-                        grad_jl(x), np.float64).reshape(1, -1)),
+                    lambda x: _bundle(x)['jl'], 0, np.inf,
+                    jac=lambda x: _bundle(x)['jl_jac']),
             ],
             options={'maxiter': int(o['MAXITER']),
                      **o['extra_optimizer_options']})
@@ -715,7 +750,7 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
             success = True
             solution_rec = res
             break
-        tmp = -(count_col(res.x).sum() + float(f_jl(res.x)))
+        tmp = -(count_col(res.x).sum() + _bundle(res.x)['jl'])
         if tmp < lowest_const_loss:
             lowest_const_loss = tmp
             solution_rec = res

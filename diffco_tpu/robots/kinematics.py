@@ -276,7 +276,32 @@ def chain_from_joint_list(joints: List[dict], root_name: str = 'base',
         fixed_trans[i] = np.asarray(j['origin_trans'], np.float32)
         if jtype[i] != FIXED:
             if j.get('mimic') is not None:
+                # resolve mimic CHAINS transitively (C mimics B mimics A
+                # => q_C = m_C * (m_B * q_A + o_B) + o_C), with cycle and
+                # dangling-source detection — URDFs in the wild do chain
+                # mimics, and a raw dict lookup would KeyError on them
                 src, mult, off = j['mimic']
+                seen = {j['name']}
+                mimic_by_name = {jj['name']: jj for jj in joints}
+                while src not in joint_dof:
+                    if src in seen:
+                        raise ValueError(
+                            f'mimic cycle involving joint {src!r}')
+                    seen.add(src)
+                    src_j = mimic_by_name.get(src)
+                    if src_j is None:
+                        raise ValueError(
+                            f'joint {j["name"]!r} mimics unknown joint '
+                            f'{src!r}')
+                    if src_j.get('mimic') is None:
+                        raise ValueError(
+                            f'joint {j["name"]!r} mimics {src!r} which '
+                            f'owns no dof (fixed joint?)')
+                    s2, m2, o2 = src_j['mimic']
+                    # fold the source's mimic into ours
+                    off = mult * o2 + off
+                    mult = mult * m2
+                    src = s2
                 dof_idx[i] = joint_dof[src]
                 mimic_mult[i] = mult
                 mimic_offset[i] = off

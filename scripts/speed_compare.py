@@ -29,7 +29,7 @@ from diffco_tpu.geometry import (Obstacles2D, planar_robot_signed_dist,
 from diffco_tpu.envs.presets2d import get_env
 
 METHODS = ['adamdiffco', 'aldiffco', 'bidiffco', 'diffcogradfree',
-           'givengrad', 'gtgradfree', 'gtdist']
+           'givengrad', 'trustconstr', 'gtgradfree', 'gtdist']
 
 
 def build_world(env_name, dof, link_length, num_train, seed):
@@ -105,9 +105,28 @@ def run_method(method, robot, obs, checker, start, target, options):
     raise ValueError(method)
 
 
+def load_test_configs(configs_dir, env_name, dof, num_problems):
+    """Pre-generated start/goal pairs (ref speed_compare.py:355-359 uses
+    per-env JSONs from generate_test_configs.py). Returns None if the
+    file is absent."""
+    if not configs_dir:
+        return None
+    path = os.path.join(configs_dir, f'test_configs_{env_name}_{dof}d.json')
+    if not os.path.exists(path):
+        return None
+    d = json.load(open(path))
+    starts = np.asarray(d['start_cfgs'], np.float32)
+    targets = np.asarray(d['target_cfgs'], np.float32)
+    n = min(num_problems, len(starts))
+    return [(jnp.asarray(starts[i]), jnp.asarray(targets[i]))
+            for i in range(n)]
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument('--envs', nargs='+', default=['1rect_1circle', '3circle'])
+    p.add_argument('--envs', nargs='+', default=['1rect_1circle', '3circle'],
+                   help="env names, optionally 'name:dof' (e.g. "
+                        "3circle_7d:7) to override --dof per env")
     p.add_argument('--methods', nargs='+', default=['adamdiffco',
                                                     'gtgradfree'])
     p.add_argument('--dof', type=int, default=2)
@@ -118,6 +137,9 @@ def main():
     p.add_argument('--maxiter', type=int, default=200)
     p.add_argument('--trials', type=int, default=5)
     p.add_argument('--seed', type=int, default=1917)
+    p.add_argument('--test-configs-dir', default=None,
+                   help='directory of generate_test_configs.py JSONs; '
+                        'problems are sampled inline when absent')
     p.add_argument('--output', default='results/speed_compare.json')
     p.add_argument('--no-resume', action='store_true')
     args = p.parse_args()
@@ -128,21 +150,28 @@ def main():
         results = json.load(open(args.output))
         print(f'resuming: {len(results)} env/method records present')
 
-    for env_name in args.envs:
+    for env_spec in args.envs:
+        env_name, _, dof_s = env_spec.partition(':')
+        dof = int(dof_s) if dof_s else args.dof
+        # longer chains need shorter links to fit the same workspace
+        link_length = args.link_length * 2 / dof
         robot, obs, checker = build_world(
-            env_name, args.dof, args.link_length, args.num_train, args.seed)
-        key = jax.random.PRNGKey(args.seed)
-        q = robot.rand_configs(512, key)
-        free = ~np.asarray(planar_robot_collision(robot, obs, q))
-        idx = np.where(free)[0]
-        pairs = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
-                 for i in range(args.num_problems)]
+            env_name, dof, link_length, args.num_train, args.seed)
+        pairs = load_test_configs(args.test_configs_dir, env_name, dof,
+                                  args.num_problems)
+        if pairs is None:
+            key = jax.random.PRNGKey(args.seed)
+            q = robot.rand_configs(512, key)
+            free = ~np.asarray(planar_robot_collision(robot, obs, q))
+            idx = np.where(free)[0]
+            pairs = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
+                     for i in range(args.num_problems)]
         options = {'N_WAYPOINTS': args.waypoints,
                    'NUM_RE_TRIALS': args.trials, 'MAXITER': args.maxiter,
                    'history': False, 'safety_margin': 0.0,
                    'max_speed': 2.0, 'seed': args.seed}
         for method in args.methods:
-            tag = f'{env_name}/{method}'
+            tag = f'{env_spec}/{method}'
             if tag in results:  # resume (ref :566-582)
                 continue
             recs = []
@@ -163,6 +192,8 @@ def main():
                         rec['valid'] = True
                 recs.append(rec)
             summary = {
+                'dof': dof,
+                'backend': jax.default_backend(),
                 'success_rate': float(np.mean([r['success'] for r in recs])),
                 'valid_rate': float(np.mean([r['valid'] for r in recs])),
                 'mean_cost': float(np.mean([r['cost'] for r in recs])),
