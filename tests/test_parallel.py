@@ -335,3 +335,40 @@ def test_trajopt_mesh_option_parity(mesh):
         {'N_WAYPOINTS': 8, 'NUM_RE_TRIALS': 3,   # rounds up to 4 on dp
          'MAXITER': 30, 'seed': 0, 'mesh': mesh})
     assert np.all(np.isfinite(np.asarray(rec_al['solution'])))
+
+
+def test_fk_checker_mesh_e2e(mesh):
+    """VERDICT done-criterion: ForwardKinematicsDiffCo(mesh=...) fit ->
+    update -> trajopt through the public API on the 8-device mesh, with
+    single-device score parity."""
+    import diffco_tpu as dc
+    from diffco_tpu import optim
+    shape_env = dc.ShapeEnv(shapes={
+        'box1': {'type': 'Box', 'params': {'extents': [0.5, 0.5, 0.5]},
+                 'transform': np.eye(4) + 0.0},
+    })
+    robot = dc.FrankaPanda(load_gripper=True, setup_acm=False,
+                           link_spheres=8)
+    fk_mesh = dc.ForwardKinematicsDiffCo(robot=robot, environment=shape_env,
+                                         seed=7, mesh=mesh)
+    acc, tpr, tnr = fk_mesh.fit(num_samples=512, verify_ratio=0.2)
+    assert acc is not None and tpr >= 0.8
+
+    fk_ref = dc.ForwardKinematicsDiffCo(robot=robot, environment=shape_env,
+                                        seed=7)
+    fk_ref.fit(num_samples=512, verify_ratio=0.2)
+    assert fk_mesh.perceptron.num_valid == fk_ref.perceptron.num_valid
+    q = robot.rand_configs(32, jax.random.PRNGKey(11))
+    s_m = np.asarray(fk_mesh.collision_score(q)).reshape(-1)
+    s_r = np.asarray(fk_ref.collision_score(q)).reshape(-1)
+    assert np.allclose(s_m, s_r, atol=1e-3)
+
+    fk_mesh.update(num_samples=32)
+
+    start = jnp.zeros(robot.dof)
+    target = 0.4 * jnp.ones(robot.dof)
+    rec = optim.adam_traj_optimize(
+        robot, fk_mesh.score_fn(), start, target,
+        {'N_WAYPOINTS': 8, 'NUM_RE_TRIALS': 4, 'MAXITER': 20, 'seed': 0,
+         'mesh': mesh})
+    assert np.all(np.isfinite(np.asarray(rec['solution'])))
