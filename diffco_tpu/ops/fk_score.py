@@ -122,14 +122,15 @@ def _score_grad_block(pts, s_ref, w_ref, score_ref, f_pad, dt):
         wv.astype(dt).T, r.astype(dt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)        # [1, TB]
-    rowsum = jax.lax.dot_general(
-        wv.astype(dt).T, rinv.astype(dt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [1, TB]
-    su = jax.lax.dot_general(
-        (s * wv).astype(dt), rinv.astype(dt),
+    # rowsum (w^T rinv) rides as an extra column of the su matmul — one
+    # [S, F+1]^T x [S, TB] MXU op over the shared rinv cast instead of two
+    rinv_dt = rinv.astype(dt)
+    su_row = jax.lax.dot_general(
+        jnp.concatenate([s * wv, wv], axis=1).astype(dt), rinv_dt,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # [F_pad, TB]
+        preferred_element_type=jnp.float32)        # [F_pad + 1, TB]
+    su = su_row[:-1]
+    rowsum = su_row[-1:]
 
     def g_comp(row):
         # dscore/dpoint, per point k: rows 3k..3k+2 of xT*rowsum - su

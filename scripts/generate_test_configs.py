@@ -40,13 +40,28 @@ def main():
     q = robot.rand_configs(4096, key)
     free = np.asarray(q)[~np.asarray(planar_robot_collision(robot, obs, q))]
 
+    # feasibility oracle: only emit pairs a ground-truth RRT-Connect can
+    # actually join — free C-space components can be DISCONNECTED (a
+    # planar arm cannot pass through a wall), and an unreachable pair
+    # makes every optimizer in the benchmark fail for reasons that have
+    # nothing to do with the optimizer
+    from diffco_tpu.planning import MotionPlanner
+    planner = MotionPlanner(
+        robot, lambda qq: planar_robot_collision(robot, obs, qq),
+        seed=args.seed)
+
     rng = np.random.RandomState(args.seed)
     starts, targets = [], []
-    while len(starts) < args.num_pairs:
+    attempts = 0
+    while len(starts) < args.num_pairs and attempts < 200:
+        attempts += 1
         i, j = rng.randint(len(free)), rng.randint(len(free))
-        if np.linalg.norm(free[i] - free[j]) >= args.min_dist:
-            starts.append(free[i].tolist())
-            targets.append(free[j].tolist())
+        if np.linalg.norm(free[i] - free[j]) < args.min_dist:
+            continue
+        if planner.plan(free[i], free[j], max_iters=300) is None:
+            continue
+        starts.append(free[i].tolist())
+        targets.append(free[j].tolist())
     out = {'env_name': args.env, 'start_cfgs': starts,
            'target_cfgs': targets}
     path = args.output or f'test_configs_{args.env}_{args.dof}d.json'

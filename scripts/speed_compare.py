@@ -32,7 +32,8 @@ METHODS = ['adamdiffco', 'aldiffco', 'bidiffco', 'diffcogradfree',
            'givengrad', 'trustconstr', 'gtgradfree', 'gtdist']
 
 
-def build_world(env_name, dof, link_length, num_train, seed):
+def build_world(env_name, dof, link_length, num_train, seed,
+                fit_target='dist'):
     obstacles = get_env(env_name)
     dataset = routines.autogenerate_2d_dataset(
         num_init_points=num_train, dof=dof, link_length=link_length,
@@ -42,7 +43,11 @@ def build_world(env_name, dof, link_length, num_train, seed):
     checker = DiffCo(kernel_func=kernels.RQKernel(10.0))
     checker.train(cfgs, labels[:, 0], max_iteration=3 * len(cfgs),
                   distance=dists[:, 0])
-    checker.fit_poly(kernels.Polyharmonic(1, 1), target='label')
+    # fitting the surrogate on the signed DISTANCES (not bare labels)
+    # gives the optimizers a usable gradient field away from the
+    # boundary — measured prerequisite for valid trajectories
+    # (benchmarks/RESULTS.md trajopt notes)
+    checker.fit_poly(kernels.Polyharmonic(1, 1), target=fit_target)
     return robot, obs, checker
 
 
@@ -137,6 +142,9 @@ def main():
     p.add_argument('--maxiter', type=int, default=200)
     p.add_argument('--trials', type=int, default=5)
     p.add_argument('--seed', type=int, default=1917)
+    p.add_argument('--fit-target', default='dist',
+                   choices=['dist', 'label'])
+    p.add_argument('--safety-margin', type=float, default=-0.3)
     p.add_argument('--test-configs-dir', default=None,
                    help='directory of generate_test_configs.py JSONs; '
                         'problems are sampled inline when absent')
@@ -156,7 +164,8 @@ def main():
         # longer chains need shorter links to fit the same workspace
         link_length = args.link_length * 2 / dof
         robot, obs, checker = build_world(
-            env_name, dof, link_length, args.num_train, args.seed)
+            env_name, dof, link_length, args.num_train, args.seed,
+            fit_target=args.fit_target)
         pairs = load_test_configs(args.test_configs_dir, env_name, dof,
                                   args.num_problems)
         if pairs is None:
@@ -166,9 +175,15 @@ def main():
             idx = np.where(free)[0]
             pairs = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
                      for i in range(args.num_problems)]
+        # dense_sub densifies the collision term between waypoints (the
+        # invariant that stops the optimizer threading obstacles between
+        # waypoints); a slightly negative margin on the distance-fitted
+        # surrogate keeps paths off the boundary
         options = {'N_WAYPOINTS': args.waypoints,
                    'NUM_RE_TRIALS': args.trials, 'MAXITER': args.maxiter,
-                   'history': False, 'safety_margin': 0.0,
+                   'history': False,
+                   'safety_margin': args.safety_margin,
+                   'dense_sub': 3, 'num_sub': 4,
                    'max_speed': 2.0, 'seed': args.seed}
         for method in args.methods:
             tag = f'{env_spec}/{method}'
