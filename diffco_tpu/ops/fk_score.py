@@ -174,11 +174,12 @@ def _tile_b(S: int) -> int:
     # the [S, TB] fp32 distance block + bf16 copies + the [F_pad, TB]
     # point/gradient blocks must fit VMEM (~16 MB): keep S * TB around
     # 2^20 elements (4 MB fp32). Bigger tiles amortize the per-tile
-    # matvec/setup work — the roofline tile sweeps (benchmarks/
-    # roofline.json) measured 0.40-0.46 / 0.29 ms per step at TB=256/512
-    # against 0.19-0.22 at TB=1024/2048 (S=512; the last two within
-    # run-to-run noise of each other), so take the largest tile that fits.
-    return int(min(2048, max(256, (1 << 20) // max(S, 1))))
+    # matvec/setup work, but only up to a point: the roofline tile sweeps
+    # (benchmarks/roofline.json) measured 0.40-0.46 / 0.28-0.29 ms per
+    # step at TB=256/512 against 0.19-0.21 at TB=1024 and 0.21-0.22 at
+    # TB=2048 (S=512) — past 1024 the larger VMEM working set costs more
+    # than the amortization buys, so cap the tile at 1024.
+    return int(min(1024, max(256, (1 << 20) // max(S, 1))))
 
 
 @functools.partial(jax.jit, static_argnames=('spec', 'use_bf16'))

@@ -157,6 +157,78 @@ def make_ablations(robot):
             'fwd': fwd}, n_joints, f_pad
 
 
+def make_mv_full(robot, mv_f32):
+    """Candidate optimization A/B: keep the big [S,F]x[F,TB] distance
+    matmul in bf16; run the score/rowsum/su matvecs either in f32
+    (mv_f32=True — skips the bf16 casts of the full [S, TB] r/rinv
+    arrays, the roofline's residual VPU cost) or bf16 (production
+    math, identical plumbing — the fair baseline). Full kernel incl.
+    FK backward, single combined output for timing."""
+    spec = robot_spec(robot)
+    dh_const, point_specs, base = spec
+    n_joints = len(dh_const)
+    n_pts = len(point_specs)
+    f_pad = _round_up(3 * n_pts, 8)
+    frame_ids = [fi for fi, _ in point_specs]
+
+    def kernel(qT_ref, s_ref, w_ref, out_ref):
+        q_rows = [qT_ref[i:i + 1, :] for i in range(n_joints)]
+        axes, pts = _dh_chain_tile(q_rows, dh_const, point_specs, base)
+        comps = []
+        for p in pts:
+            comps.extend(p)
+        zero_row = jnp.zeros_like(comps[0])
+        comps.extend([zero_row] * (f_pad - len(comps)))
+        xT = jnp.concatenate(comps, axis=0)
+        s = s_ref[:].astype(jnp.float32)
+        wv = w_ref[:].astype(jnp.float32)
+        x2 = jnp.sum(xT * xT, axis=0, keepdims=True)
+        s2 = jnp.sum(s * s, axis=1, keepdims=True)
+        sx = jax.lax.dot_general(
+            s.astype(jnp.bfloat16), xT.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0) + 1e-12
+        rinv = jax.lax.rsqrt(d2)
+        r = d2 * rinv
+        mdt = jnp.float32 if mv_f32 else jnp.bfloat16
+        score = jax.lax.dot_general(
+            wv.astype(mdt).T, r.astype(mdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        su_row = jax.lax.dot_general(
+            jnp.concatenate([s * wv, wv], axis=1).astype(mdt),
+            rinv.astype(mdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        su = su_row[:-1]
+        rowsum = su_row[-1:]
+
+        def g_comp(row):
+            return xT[row:row + 1, :] * rowsum - su[row:row + 1, :]
+
+        acc = score
+        sg = [jnp.zeros_like(score) for _ in range(3)]
+        sm = [jnp.zeros_like(score) for _ in range(3)]
+        k = n_pts - 1
+        from diffco_tpu.ops.fk_score import _cross
+        for j in range(n_joints, 0, -1):
+            while k >= 0 and frame_ids[k] >= j:
+                g = (g_comp(3 * k), g_comp(3 * k + 1), g_comp(3 * k + 2))
+                p = pts[k]
+                cx, cy, cz = _cross(p, g)
+                sm = [sm[0] + cx, sm[1] + cy, sm[2] + cz]
+                sg = [sg[0] + g[0], sg[1] + g[1], sg[2] + g[2]]
+                k -= 1
+            z, o = axes[j - 1]
+            ox_, oy_, oz_ = _cross(o, sg)
+            acc = acc + (z[0] * (sm[0] - ox_) + z[1] * (sm[1] - oy_)
+                         + z[2] * (sm[2] - oz_))
+        out_ref[:] = acc
+
+    return kernel, n_joints, f_pad
+
+
 def main():
     assert jax.default_backend() != 'cpu', 'roofline needs the TPU'
     robot, sup, w, q = _setup()
@@ -194,6 +266,12 @@ def main():
 
     for name, kern in kernels.items():
         results[f'{name}_ms'] = _per_step_ms(make_step(kern, TB0), q)
+
+    # --- candidate: f32 matvecs (skip r/rinv bf16 casts) vs bf16 twin ----
+    for label, mvf in (('mv_bf16_full', False), ('mv_f32_full', True)):
+        kern, nj, fp = make_mv_full(robot, mvf)
+        results[f'{label}_ms'] = _per_step_ms(
+            make_step(kern, TB0), q)
 
     # --- tile-size sweep on the full kernel ------------------------------
     orig_tile_b = fks._tile_b
