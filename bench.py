@@ -102,7 +102,7 @@ def _jax_throughput(batch=65536, n_supports=512, n_short=50, n_long=250,
     return tput(), jax.default_backend()
 
 
-def _torch_cpu_baseline(batch=2048, n_supports=512, iters=5):
+def _torch_cpu_baseline(batch=2048, n_supports=512, iters=20):
     """CPU-PyTorch reference implementation of the same score+grad:
     DH-chain Panda FK (model.py:430-453 math) + polyharmonic kernel
     (kernel.py:73-79) + autograd backward."""
@@ -157,10 +157,15 @@ def _torch_cpu_baseline(batch=2048, n_supports=512, iters=5):
 
     q = torch.rand(batch, 7, generator=g) * 2 - 1
     score_grad(q)  # warm up
-    t0 = time.perf_counter()
+    # Best-of-iters: concurrent host load (e.g. a CPU experiment sweep)
+    # only ever slows an iteration down, so min(dt) estimates the
+    # unloaded baseline — averaging instead inflated vs_baseline up to
+    # 15x when bench ran next to a sweep. Conservative for the ratio.
+    dt = float('inf')
     for _ in range(iters):
+        t0 = time.perf_counter()
         score_grad(q)
-    dt = (time.perf_counter() - t0) / iters
+        dt = min(dt, time.perf_counter() - t0)
     return batch / dt
 
 
