@@ -29,7 +29,8 @@ from diffco_tpu.geometry import (Obstacles2D, planar_robot_signed_dist,
 from diffco_tpu.envs.presets2d import get_env
 
 METHODS = ['adamdiffco', 'aldiffco', 'bidiffco', 'diffcogradfree',
-           'givengrad', 'trustconstr', 'gtgradfree', 'gtdist']
+           'givengrad', 'trustconstr', 'gtgradfree', 'gtdist',
+           'rrtadamdiffco']
 
 
 def build_world(env_name, dof, link_length, num_train, seed,
@@ -107,6 +108,36 @@ def run_method(method, robot, obs, checker, start, target, options):
     if method == 'gtdist':
         return optim.adam_traj_optimize(robot, gt_dist, start, target,
                                         options)
+    if method == 'rrtadamdiffco':
+        # pipeline method: batched RRT-Connect on the PROXY finds a path
+        # in the right C-space component (random start/target pairs in
+        # narrow envs usually straddle components — RESULTS.md 7d_narrow
+        # notes), then Adam refines it. The reference reaches for
+        # pre-generated feasible configs instead (speed_compare.py:355-359);
+        # this makes the fix part of the method.
+        from diffco_tpu.planning import MotionPlanner
+
+        def col(q):
+            return np.asarray(checker.poly_score(
+                jnp.asarray(q, jnp.float32)).reshape(-1) > 0)
+
+        t0 = time.time()
+        planner = MotionPlanner(robot, col, step_size=0.5,
+                                seed=int(options['seed']))
+        path = planner.plan(np.asarray(start, np.float64),
+                            np.asarray(target, np.float64),
+                            max_iters=4000)
+        plan_time = time.time() - t0
+        opts = dict(options)
+        if path is not None:
+            opts['init_solution'] = jnp.asarray(path, jnp.float32)
+            opts['NUM_RE_TRIALS'] = 1
+        rec = optim.adam_traj_optimize(robot, proxy_dist, start, target,
+                                       opts)
+        rec['time'] += plan_time
+        rec['cnt_check'] += planner.cnt_check
+        rec['rrt_found'] = path is not None
+        return rec
     raise ValueError(method)
 
 
