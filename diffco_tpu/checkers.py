@@ -185,6 +185,7 @@ class RBFDiffCo(CollisionChecker):
         self.safety_bias = 0.0
         self.perceptron_trained = False
         self._score_fn = None
+        self._mesh_sweep_fn = None
 
     # -- fitting ------------------------------------------------------------
 
@@ -246,7 +247,8 @@ class RBFDiffCo(CollisionChecker):
         inference_kernel_func = kernel.Polyharmonic(k=1, epsilon=1)
         self.perceptron.fit_poly(kernel_func=inference_kernel_func,
                                  target='label')
-        self._score_fn = None  # invalidate jit cache (supports changed)
+        self._score_fn = None  # invalidate jit caches (supports changed)
+        self._mesh_sweep_fn = None
 
         self.safety_bias = self._calculate_safety_bias(q_verify)
         if verify_ratio:
@@ -364,12 +366,20 @@ class RBFDiffCo(CollisionChecker):
         return self.collision_score(q).reshape(-1) > 0
 
     def collision_score(self, q, bias=None):
-        """Biased smooth score, any leading batch shape
-        (ref :295-303)."""
+        """Biased smooth score, any leading batch shape (ref :295-303).
+        With a mesh set the flat batch is dp-sharded through the same
+        shard_map sweep as verify/safety-bias, so large inference batches
+        scale across chips instead of running on one device."""
         bias = self.safety_bias if bias is None else bias
         q = jnp.asarray(q)
         shape_q = q.shape
-        raw = self.perceptron.poly_score(q.reshape(-1, shape_q[-1]))
+        flat = q.reshape(-1, shape_q[-1])
+        nodes = getattr(self.perceptron, 'rbf_nodes', None)
+        single_out = nodes is None or nodes.ndim == 1 or nodes.shape[-1] == 1
+        if self.mesh is not None and single_out:
+            raw = self._sweep_scores(flat).reshape(-1, 1)
+        else:   # multi-output ([B, C]) perceptrons keep the direct route
+            raw = self.perceptron.poly_score(flat)
         raw = raw.reshape(shape_q[:-1] + raw.shape[1:])
         return raw + bias
 
@@ -405,7 +415,45 @@ class RBFDiffCo(CollisionChecker):
         if self.mesh is None:
             return self.perceptron.poly_score(q).reshape(-1)
         qp, B = self._pad_shard(q)
-        return self.perceptron.poly_score(qp).reshape(-1)[:B]
+        return self._mesh_sweep_scores(qp).reshape(-1)[:B]
+
+    def _mesh_sweep_scores(self, qp):
+        """poly_score under ``shard_map`` over the mesh's data axis.
+
+        DiffCo.poly_score routes into fused Pallas kernels at large batch
+        on TPU (ops/fk_score.py, ops/fused_score.py); ``pallas_call`` has
+        no GSPMD partitioning rule, so feeding it a dp-sharded GLOBAL
+        array would error (or silently replicate). shard_map makes each
+        device score its LOCAL rows as an ordinary single-device program
+        — poly_score's fused-batch gate then applies to the per-device
+        shard size. The trained state travels as explicit replicated
+        operands (rebound at trace time) so refits reuse the compile,
+        mirroring ``score_fn``'s cache contract."""
+        perc = self.perceptron
+        if self._mesh_sweep_fn is None:
+            from jax.sharding import PartitionSpec
+            from .parallel.sharding import data_axis
+            ax = data_axis(self.mesh)
+
+            def body(q_local, sup, nodes, mask):
+                saved = (perc.support_transformed, perc.rbf_nodes,
+                         perc.valid_mask)
+                try:
+                    perc.support_transformed = sup
+                    perc.rbf_nodes = nodes
+                    perc.valid_mask = mask
+                    return perc.poly_score(q_local).reshape(-1, 1)
+                finally:
+                    (perc.support_transformed, perc.rbf_nodes,
+                     perc.valid_mask) = saved
+
+            self._mesh_sweep_fn = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(PartitionSpec(ax), PartitionSpec(),
+                          PartitionSpec(), PartitionSpec()),
+                out_specs=PartitionSpec(ax)))
+        return self._mesh_sweep_fn(qp, perc.support_transformed,
+                                   perc.rbf_nodes, perc.valid_mask)
 
     def _calculate_safety_bias(self, q_verify):
         """min(|min score|, |max score|) / 3 (ref :497-503)."""
@@ -451,6 +499,7 @@ class ForwardKinematicsDiffCo(RBFDiffCo):
         self.safety_bias = 0.0
         self.perceptron_trained = False
         self._score_fn = None
+        self._mesh_sweep_fn = None
 
     def _uniform_sample_on_transformed_manifold(self, transform,
                                                 num_samples):

@@ -179,7 +179,11 @@ def _tile_b(S: int) -> int:
     # step at TB=256/512 against 0.19-0.21 at TB=1024 and 0.21-0.22 at
     # TB=2048 (S=512) — past 1024 the larger VMEM working set costs more
     # than the amortization buys, so cap the tile at 1024.
-    return int(min(1024, max(256, (1 << 20) // max(S, 1))))
+    # floor to a multiple of 256: TB is the lane dimension of every
+    # BlockSpec here, and non-128-aligned tiles (e.g. 2^20//1152 = 910
+    # for a 1152-support pad) would hit untested Mosaic lowerings
+    tb = (1 << 20) // max(S, 1)
+    return int(min(1024, max(256, (tb // 256) * 256)))
 
 
 @functools.partial(jax.jit, static_argnames=('spec', 'use_bf16'))

@@ -351,8 +351,7 @@ def adam_traj_optimize_batch(robot, dist_est, start_cfgs, target_cfgs,
             reps = jnp.arange(n_pad - P) % P
             starts = jnp.concatenate([starts, starts[reps]])
             targets = jnp.concatenate([targets, targets[reps]])
-            init_firsts = jnp.concatenate(
-                [init_firsts, init_firsts[:n_pad - P]])
+            init_firsts = jnp.concatenate([init_firsts, init_firsts[reps]])
             keys = jnp.concatenate([keys, keys[reps]])
         problem_sharding = NamedSharding(mesh, PartitionSpec(ax))
 

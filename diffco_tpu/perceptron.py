@@ -459,6 +459,41 @@ class DiffCo(Perceptron):
         return (shard_batch(Xtp, self.mesh, ax), replicate(Xtp, self.mesh),
                 yp, valid, ax)
 
+    def _mesh_train_inputs(self, Xt, y, lazy):
+        """Resolve (K, Xt_train, y_train, valid) for train(): row-sharded
+        Gram on the dense path, sharded feature rows on the lazy path,
+        plain Gram/rows without a mesh. Shared by DiffCo.train and
+        MultiDiffCo.train (identical semantics, one copy)."""
+        if self.mesh is None:
+            K = None if lazy else self.kernel_func(Xt, Xt)
+            return K, Xt, y, None
+        from .parallel.sharding import shard_batch
+        Xs, Xr, yp, valid_full, ax = self._mesh_parts(Xt, y)
+        if lazy:
+            return (None, Xs, shard_batch(yp, self.mesh, ax),
+                    shard_batch(valid_full, self.mesh, ax))
+        if self._kernel_jit is None:
+            self._kernel_jit = jax.jit(self.kernel_func)
+        K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
+        return K, Xt, yp, valid_full
+
+    def _mesh_pack_warmstart(self, init_gains, init_hyp, lazy):
+        """Pad + place warm-start vectors for a sharded run: lazy shards
+        both along the row axis; dense replicates the gains (the Gram is
+        already the padded length, so init_hyp needs no extra padding)."""
+        if self.mesh is None:
+            return init_gains, init_hyp
+        from .parallel.sharding import (_pad_to_multiple, shard_batch,
+                                        replicate, data_axis)
+        ax = data_axis(self.mesh)
+        n_dev = self.mesh.shape[ax]
+        init_gains, _ = _pad_to_multiple(init_gains, n_dev)
+        if lazy:
+            init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
+            return (shard_batch(init_gains, self.mesh, ax),
+                    shard_batch(init_hyp, self.mesh, ax))
+        return replicate(init_gains, self.mesh), init_hyp
+
     # -- training ---------------------------------------------------------
 
     def train(self, X, y, update=False, exist_mask=None, max_iteration=1000,
@@ -483,25 +518,7 @@ class DiffCo(Perceptron):
         lazy = N > self.lazy_gram_threshold
         Xt = self._apply_transform(X)
 
-        valid = None
-        if self.mesh is not None:
-            from .parallel.sharding import shard_batch
-            Xs, Xr, yp, valid_full, ax = self._mesh_parts(Xt, y)
-            if lazy:
-                K = None
-                Xt_train = Xs
-                y_train = shard_batch(yp, self.mesh, ax)
-                valid = shard_batch(valid_full, self.mesh, ax)
-            else:
-                if self._kernel_jit is None:
-                    self._kernel_jit = jax.jit(self.kernel_func)
-                K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
-                Xt_train = Xt
-                y_train = yp
-                valid = valid_full
-        else:
-            K = None if lazy else self.kernel_func(Xt, Xt)
-            Xt_train, y_train = Xt, y
+        K, Xt_train, y_train, valid = self._mesh_train_inputs(Xt, y, lazy)
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
@@ -528,20 +545,8 @@ class DiffCo(Perceptron):
                 init_hyp = jnp.matmul(K[:, :N] if self.mesh is not None
                                       else K, init_gains,
                                       precision='highest')
-            if self.mesh is not None:
-                from .parallel.sharding import _pad_to_multiple, shard_batch
-                from .parallel.sharding import replicate, data_axis
-                ax = data_axis(self.mesh)
-                n_dev = self.mesh.shape[ax]
-                init_gains, _ = _pad_to_multiple(init_gains, n_dev)
-                if lazy:
-                    init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
-                    init_gains = shard_batch(init_gains, self.mesh, ax)
-                    init_hyp = shard_batch(init_hyp, self.mesh, ax)
-                else:
-                    init_gains = replicate(init_gains, self.mesh)
-                    # dense-mesh init_hyp is already the full padded length
-                    # (K is [Np, Np]); no extra padding needed
+            init_gains, init_hyp = self._mesh_pack_warmstart(
+                init_gains, init_hyp, lazy)
 
         if lazy:
             gains, hyp, it = perceptron_train_loop_lazy(
@@ -817,25 +822,7 @@ class MultiDiffCo(DiffCo):
         lazy = N > self.lazy_gram_threshold
         Xt = self._apply_transform(X)
 
-        valid = None
-        if self.mesh is not None:
-            from .parallel.sharding import shard_batch
-            Xs, Xr, yp, valid_full, ax = self._mesh_parts(Xt, y)
-            if lazy:
-                K = None
-                Xt_train = Xs
-                y_train = shard_batch(yp, self.mesh, ax)
-                valid = shard_batch(valid_full, self.mesh, ax)
-            else:
-                if self._kernel_jit is None:
-                    self._kernel_jit = jax.jit(self.kernel_func)
-                K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
-                Xt_train = Xt
-                y_train = yp
-                valid = valid_full
-        else:
-            K = None if lazy else self.kernel_func(Xt, Xt)
-            Xt_train, y_train = Xt, y
+        K, Xt_train, y_train, valid = self._mesh_train_inputs(Xt, y, lazy)
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
@@ -856,19 +843,8 @@ class MultiDiffCo(DiffCo):
                 init_hyp = jnp.matmul(K[:, :N] if self.mesh is not None
                                       else K, init_gains,
                                       precision='highest')
-            if self.mesh is not None:
-                from .parallel.sharding import (_pad_to_multiple,
-                                                shard_batch, replicate,
-                                                data_axis)
-                ax = data_axis(self.mesh)
-                n_dev = self.mesh.shape[ax]
-                init_gains, _ = _pad_to_multiple(init_gains, n_dev)
-                if lazy:
-                    init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
-                    init_gains = shard_batch(init_gains, self.mesh, ax)
-                    init_hyp = shard_batch(init_hyp, self.mesh, ax)
-                else:
-                    init_gains = replicate(init_gains, self.mesh)
+            init_gains, init_hyp = self._mesh_pack_warmstart(
+                init_gains, init_hyp, lazy)
 
         if lazy:
             gains, hyp, it = multiclass_train_loop_lazy(

@@ -262,6 +262,7 @@ def chain_from_joint_list(joints: List[dict], root_name: str = 'base',
             if j['type'] == 'continuous':
                 lo, hi = -2 * np.pi, 2 * np.pi
             limits.append((lo, hi))
+    mimic_by_name = {jj['name']: jj for jj in joints}
     for n in order[1:]:
         j = by_child[n]
         i = name_to_idx[n]
@@ -282,7 +283,6 @@ def chain_from_joint_list(joints: List[dict], root_name: str = 'base',
                 # mimics, and a raw dict lookup would KeyError on them
                 src, mult, off = j['mimic']
                 seen = {j['name']}
-                mimic_by_name = {jj['name']: jj for jj in joints}
                 while src not in joint_dof:
                     if src in seen:
                         raise ValueError(

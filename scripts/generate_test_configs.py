@@ -65,6 +65,13 @@ def main():
     out = {'env_name': args.env, 'start_cfgs': starts,
            'target_cfgs': targets}
     path = args.output or f'test_configs_{args.env}_{args.dof}d.json'
+    if len(starts) < args.num_pairs:
+        # a silent shortfall would make per-env benchmark results
+        # incomparable (fewer problems than every other env)
+        raise SystemExit(
+            f'only {len(starts)}/{args.num_pairs} feasible pairs after '
+            f'{attempts} attempts — nothing written; raise --num-samples/'
+            f'attempt budget or loosen --min-dist')
     with open(path, 'w') as f:
         json.dump(out, f, indent=1)
     print(f'{args.num_pairs} pairs written to {path}')

@@ -130,8 +130,9 @@ def run_method(method, robot, obs, checker, start, target, options):
         plan_time = time.time() - t0
         opts = dict(options)
         if path is not None:
+            # trial 0 of the optimizer takes the RRT path; the other
+            # NUM_RE_TRIALS-1 restarts stay random (vmapped, same program)
             opts['init_solution'] = jnp.asarray(path, jnp.float32)
-            opts['NUM_RE_TRIALS'] = 1
         rec = optim.adam_traj_optimize(robot, proxy_dist, start, target,
                                        opts)
         rec['time'] += plan_time

@@ -286,6 +286,15 @@ def test_checker_mesh_fit_parity(mesh):
     s_mesh = np.asarray(ck_mesh.collision_score(q)).reshape(-1)
     assert np.allclose(s_mesh, s_ref, atol=1e-3)
 
+    # the verify/safety-bias sweep runs poly_score under shard_map (the
+    # fused Pallas route has no GSPMD partitioning rule); a non-divisible
+    # batch exercises the pad-then-drop rows
+    qs = robot.rand_configs(101, jax.random.PRNGKey(13))
+    sw_ref = np.asarray(ck_ref._sweep_scores(qs))
+    sw_mesh = np.asarray(ck_mesh._sweep_scores(qs))
+    assert sw_mesh.shape == (101,)
+    assert np.allclose(sw_mesh, sw_ref, atol=1e-3)
+
 
 def test_checker_mesh_update_and_lazy(mesh):
     """update() on a meshed checker (warm start + sharded refit) and the
