@@ -241,3 +241,17 @@ def test_chain_custom_vjp_route(key):
     assert abs(float(v) - float(ref_v)) / (abs(float(ref_v)) + 1e-9) < 2e-2
     denom = np.abs(np.asarray(ref_g)).max() + 1e-9
     assert np.abs(np.asarray(g) - np.asarray(ref_g)).max() / denom < 5e-2
+
+
+def test_tile_b_lane_alignment():
+    """Batch tiles must be multiples of 256 (the lane dimension of every
+    BlockSpec in the fused kernels) and capped at 1024 per the round-3
+    tile sweep; non-power-of-two support pads must not produce ragged
+    tiles like 2^20 // 1152 = 910."""
+    for S in (64, 128, 512, 1024, 1152, 2048, 4096, 5000, 8192):
+        tb = fk_score._tile_b(S)
+        assert tb % 256 == 0
+        assert 256 <= tb <= 1024
+    assert fk_score._tile_b(512) == 1024
+    assert fk_score._tile_b(1152) == 768
+    assert fk_score._tile_b(8192) == 256
