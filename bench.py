@@ -17,6 +17,18 @@ import time
 import numpy as np
 
 
+def _difference_tput(batch, n_short, n_long, t_s_min, t_l_min):
+    """Scan-differencing throughput with a degenerate-case fallback.
+
+    If a latency spike landed on every long-run sample (t_l <= t_s), fall
+    back to the long run's naive rate — it still pays one dispatch, so
+    it's a conservative UNDERestimate, never a silently-zero headline."""
+    d = t_l_min - t_s_min
+    if d > 0:
+        return batch * (n_long - n_short) / d
+    return batch * n_long / t_l_min
+
+
 def _jax_throughput(batch=65536, n_supports=512, n_short=50, n_long=250,
                     reps=8):
     """Throughput of the on-device optimization loop: lax.scan of
@@ -76,8 +88,7 @@ def _jax_throughput(batch=65536, n_supports=512, n_short=50, n_long=250,
     t_l_min = float('inf')
 
     def tput():
-        d = t_l_min - t_s_min
-        return batch * (n_long - n_short) / d if d > 0 else 0.0
+        return _difference_tput(batch, n_short, n_long, t_s_min, t_l_min)
 
     if jax.default_backend() == 'cpu':
         for _ in range(reps):

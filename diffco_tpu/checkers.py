@@ -247,8 +247,17 @@ class RBFDiffCo(CollisionChecker):
         inference_kernel_func = kernel.Polyharmonic(k=1, epsilon=1)
         self.perceptron.fit_poly(kernel_func=inference_kernel_func,
                                  target='label')
-        self._score_fn = None  # invalidate jit caches (supports changed)
-        self._mesh_sweep_fn = None
+        # The jitted score programs take the trained state as ARGUMENTS
+        # (score_fn / _mesh_sweep_scores), so refits and active-learning
+        # updates reuse the compiled programs (pad-size hysteresis keeps
+        # shapes stable). Invalidate only when the inference kernel's
+        # parameters changed — a stale trace would bake in the old kernel.
+        kkey = (type(inference_kernel_func),
+                tuple(sorted(inference_kernel_func.__dict__.items())))
+        if getattr(self, '_score_kernel_key', None) != kkey:
+            self._score_fn = None
+            self._mesh_sweep_fn = None
+            self._score_kernel_key = kkey
 
         self.safety_bias = self._calculate_safety_bias(q_verify)
         if verify_ratio:
@@ -412,7 +421,13 @@ class RBFDiffCo(CollisionChecker):
         """Proxy-score sweep over a [B, dof] batch; dp-sharded over the
         mesh when one is set (padded rows are computed then dropped, so
         reductions over the result see only real rows)."""
-        if self.mesh is None:
+        nodes = getattr(self.perceptron, 'rbf_nodes', None)
+        single_out = nodes is None or nodes.ndim == 1 or nodes.shape[-1] == 1
+        if self.mesh is None or not single_out:
+            # multi-output ([B, C]) perceptrons keep the direct route: the
+            # mesh body flattens each shard to [b, 1], which would
+            # silently interleave classes — the direct route fails loudly
+            # on the [B*C] vs [B] mismatch instead, same as without a mesh
             return self.perceptron.poly_score(q).reshape(-1)
         qp, B = self._pad_shard(q)
         return self._mesh_sweep_scores(qp).reshape(-1)[:B]

@@ -273,35 +273,46 @@ jax.tree_util.register_pytree_node(
 _planar_sd_cache = {}
 
 
-def _planar_robot_geom_key(robot):
-    key_fn = getattr(robot, 'geom_static_key', None)
-    if key_fn is not None:
-        return key_fn()
-    return ('id', id(robot))
+def _build_planar_sd_fns(robot):
+    cap_r = robot.link_width / 2
+    link_segments = robot.link_segments
+
+    @jax.jit
+    def sd(obstacles, q):
+        segs = link_segments(q)  # [B, L, 2, 2]
+
+        def per_cfg(seg):
+            return obstacles.signed_dist_segments(seg[:, 0], seg[:, 1],
+                                                  cap_r)
+
+        return jax.vmap(per_cfg)(segs)
+
+    @jax.jit
+    def coll(obstacles, q):
+        return jnp.any(sd(obstacles, q) > 0, axis=-1)
+
+    return (sd, coll)
 
 
 def _planar_sd_fns(robot):
-    key = _planar_robot_geom_key(robot)
+    key_fn = getattr(robot, 'geom_static_key', None)
+    if key_fn is None:
+        # No static key: stash the compiled closures ON the instance so
+        # their lifetime ends with the robot — a module-global id()-keyed
+        # entry would pin every keyless instance (via the captured
+        # link_segments bound method) for the process lifetime.
+        fns = getattr(robot, '_planar_sd_fns_cache', None)
+        if fns is None:
+            fns = _build_planar_sd_fns(robot)
+            try:
+                robot._planar_sd_fns_cache = fns
+            except AttributeError:   # __slots__ instance: no cache
+                pass
+        return fns
+    key = key_fn()
     fns = _planar_sd_cache.get(key)
     if fns is None:
-        cap_r = robot.link_width / 2
-        link_segments = robot.link_segments
-
-        @jax.jit
-        def sd(obstacles, q):
-            segs = link_segments(q)  # [B, L, 2, 2]
-
-            def per_cfg(seg):
-                return obstacles.signed_dist_segments(seg[:, 0], seg[:, 1],
-                                                      cap_r)
-
-            return jax.vmap(per_cfg)(segs)
-
-        @jax.jit
-        def coll(obstacles, q):
-            return jnp.any(sd(obstacles, q) > 0, axis=-1)
-
-        fns = (sd, coll)
+        fns = _build_planar_sd_fns(robot)
         _planar_sd_cache[key] = fns
     return fns
 

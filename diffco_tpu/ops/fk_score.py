@@ -363,9 +363,12 @@ def robot_spec(robot) -> Tuple:
     # (fk_jvp.py asserts it); a subclass violating it would get silently
     # wrong gradients from the Pallas route while the XLA route stays right
     frame_ids = [fi for fi, _ in point_specs]
-    assert all(a <= b for a, b in zip(frame_ids, frame_ids[1:])), (
-        'point_specs frame indices must be non-decreasing for the fused '
-        f'DH score kernel backward pass, got {frame_ids}')
+    if not all(a <= b for a, b in zip(frame_ids, frame_ids[1:])):
+        # hard error (not assert: python -O must not strip a guard whose
+        # failure mode is silently wrong gradients)
+        raise ValueError(
+            'point_specs frame indices must be non-decreasing for the '
+            f'fused DH score kernel backward pass, got {frame_ids}')
     base = robot._base_soa()
     if base is not None:
         base = (tuple(base[0]), tuple(base[1]))

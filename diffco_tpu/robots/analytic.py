@@ -81,7 +81,10 @@ class RevolutePlanarRobot(Model):
         (geometry2d._planar_sd_fns) be cached per distinct geometry instead
         of per instance, so robots constructed in loops don't each leak a
         compiled program into the process-lifetime jit cache."""
-        return (type(self).__name__, self.dof, self.link_width,
+        # keyed on the TYPE object (not its name): same-named classes from
+        # different modules must not share a compiled program if they
+        # override link_segments
+        return (type(self), self.dof, self.link_width,
                 tuple(np.asarray(self.link_length, np.float64).tolist()))
 
     def fkine(self, q):

@@ -25,7 +25,10 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--env', default='1rect_1circle')
     p.add_argument('--dof', type=int, default=2)
-    p.add_argument('--link-length', type=float, default=3.5)
+    p.add_argument('--link-length', type=float, default=3.5,
+                   help='same knob as speed_compare.py: per-link length '
+                        'is link_length * 2 / dof (constant total reach '
+                        'across dof)')
     p.add_argument('--num-pairs', type=int, default=10)
     p.add_argument('--min-dist', type=float, default=1.5,
                    help='min configuration-space distance between pairs')
@@ -33,8 +36,12 @@ def main():
     p.add_argument('--output', default=None)
     args = p.parse_args()
 
-    robot = RevolutePlanarRobot(args.link_length, link_width=0.3,
-                                dof=args.dof)
+    # MUST match speed_compare.build_world's derivation exactly — the
+    # feasibility oracle below certifies pairs for THIS geometry, and a
+    # different robot in the benchmark would make certified-free pairs
+    # start in collision (speed_compare.py:197)
+    robot = RevolutePlanarRobot(args.link_length * 2 / args.dof,
+                                link_width=0.3, dof=args.dof)
     obs = Obstacles2D.from_obstacle_list(get_env(args.env))
     key = jax.random.PRNGKey(args.seed)
     q = robot.rand_configs(4096, key)
