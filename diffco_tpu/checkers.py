@@ -526,14 +526,13 @@ class ForwardKinematicsDiffCo(RBFDiffCo):
 
     def collision_score(self, q=None, bias=None, q_link_pos=None):
         """Score from configurations or directly from link positions
-        (ref :475-495)."""
-        bias = self.safety_bias if bias is None else bias
+        (ref :475-495). The configuration path delegates to the base
+        class so a checker built with ``mesh=`` keeps its dp-sharded
+        sweep — this override only adds the link-position entry point."""
         if q is not None:
-            q = jnp.asarray(q)
-            shape_q = q.shape
-            raw = self.perceptron.poly_score(q.reshape(-1, shape_q[-1]))
-            raw = raw.reshape(shape_q[:-1] + raw.shape[1:])
-        elif q_link_pos is not None:
+            return super().collision_score(q, bias=bias)
+        bias = self.safety_bias if bias is None else bias
+        if q_link_pos is not None:
             p = jnp.asarray(q_link_pos)
             raw = self.perceptron.poly_score(
                 transformed_point=p.reshape((-1,) + p.shape[-2:]))
@@ -565,7 +564,9 @@ class HybridForwardKinematicsDiffCo(ForwardKinematicsDiffCo):
         else:
             uncertain = jnp.logical_and(unbias + self.safety_bias > 0,
                                         unbias - self.safety_bias < 0)
-            gt = jnp.asarray(self.gt_check_func(q)).reshape(-1)
+            # _gt_labels keeps the exact-geometry recheck dp-sharded when
+            # a mesh is set (it is the expensive part this class amortizes)
+            gt = jnp.asarray(self._gt_labels(q)).reshape(-1)
             labels = jnp.where(uncertain, gt, labels)
         return labels
 

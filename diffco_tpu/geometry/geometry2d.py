@@ -271,6 +271,9 @@ jax.tree_util.register_pytree_node(
 # the global jit cache no longer retains every instance for the process
 # lifetime.
 _planar_sd_cache = {}
+# last-resort cache for keyless robots that also reject attribute writes
+# (__slots__/frozen): id -> (strong ref, fns); see _planar_sd_fns
+_planar_sd_fallback = {}
 
 
 def _build_planar_sd_fns(robot):
@@ -303,11 +306,24 @@ def _planar_sd_fns(robot):
         # link_segments bound method) for the process lifetime.
         fns = getattr(robot, '_planar_sd_fns_cache', None)
         if fns is None:
+            hit = _planar_sd_fallback.get(id(robot))
+            if hit is not None and hit[0] is robot:
+                return hit[1]
             fns = _build_planar_sd_fns(robot)
             try:
                 robot._planar_sd_fns_cache = fns
-            except AttributeError:   # __slots__ instance: no cache
-                pass
+            except (AttributeError, TypeError):
+                # __slots__ / frozen instance: fall back to a BOUNDED
+                # strong-ref FIFO cache. The strong ref keeps the robot
+                # alive while its entry exists, so an id() key cannot be
+                # reused by a different object; the size cap bounds the
+                # leak, and rebuilding only happens after eviction — never
+                # the silent recompile-every-call of an uncached miss
+                # (~1 min per TPU recompile)
+                _planar_sd_fallback[id(robot)] = (robot, fns)
+                while len(_planar_sd_fallback) > 64:
+                    _planar_sd_fallback.pop(
+                        next(iter(_planar_sd_fallback)))
         return fns
     key = key_fn()
     fns = _planar_sd_cache.get(key)

@@ -443,11 +443,15 @@ class DiffCo(Perceptron):
     def valid_supports(self):
         return self.num_valid
 
-    def _mesh_parts(self, Xt, y):
+    def _mesh_parts(self, Xt, y, want_replicated=True):
         """Pad (to the mesh's data-axis size) and place training arrays for
         a sharded run. Returns (Xt_sharded, Xt_replicated, y_padded, valid)
         with the padded row count a device multiple; the valid mask keeps
-        padded rows out of the greedy selection."""
+        padded rows out of the greedy selection. ``want_replicated=False``
+        returns ``Xt_replicated=None`` — the lazy path only needs the
+        sharded rows, and pinning a full [N, F] copy in every device's HBM
+        at exactly the large-N scale the lazy trainer targets would defeat
+        its O(N) memory contract."""
         from .parallel.sharding import (_pad_to_multiple, shard_batch,
                                         replicate, data_axis)
         ax = data_axis(self.mesh)
@@ -456,8 +460,8 @@ class DiffCo(Perceptron):
         Xtp, _ = _pad_to_multiple(Xt, n_dev)
         yp, _ = _pad_to_multiple(y, n_dev)
         valid = jnp.arange(Xtp.shape[0]) < N
-        return (shard_batch(Xtp, self.mesh, ax), replicate(Xtp, self.mesh),
-                yp, valid, ax)
+        Xr = replicate(Xtp, self.mesh) if want_replicated else None
+        return shard_batch(Xtp, self.mesh, ax), Xr, yp, valid, ax
 
     def _mesh_train_inputs(self, Xt, y, lazy):
         """Resolve (K, Xt_train, y_train, valid) for train(): row-sharded
@@ -468,7 +472,8 @@ class DiffCo(Perceptron):
             K = None if lazy else self.kernel_func(Xt, Xt)
             return K, Xt, y, None
         from .parallel.sharding import shard_batch
-        Xs, Xr, yp, valid_full, ax = self._mesh_parts(Xt, y)
+        Xs, Xr, yp, valid_full, ax = self._mesh_parts(
+            Xt, y, want_replicated=not lazy)
         if lazy:
             return (None, Xs, shard_batch(yp, self.mesh, ax),
                     shard_batch(valid_full, self.mesh, ax))

@@ -59,12 +59,17 @@ def main():
 
     rng = np.random.RandomState(args.seed)
     starts, targets = [], []
-    attempts = 0
-    while len(starts) < args.num_pairs and attempts < 200:
-        attempts += 1
+    # min-dist rejections are cheap draws and must not eat the (expensive)
+    # feasibility-oracle budget — a strict --min-dist would otherwise
+    # exhaust the budget before the planner ever runs and the script would
+    # wrongly report infeasibility
+    attempts, draws = 0, 0
+    while len(starts) < args.num_pairs and attempts < 200 and draws < 20000:
+        draws += 1
         i, j = rng.randint(len(free)), rng.randint(len(free))
         if np.linalg.norm(free[i] - free[j]) < args.min_dist:
             continue
+        attempts += 1
         if planner.plan(free[i], free[j], max_iters=300) is None:
             continue
         starts.append(free[i].tolist())
@@ -77,8 +82,9 @@ def main():
         # incomparable (fewer problems than every other env)
         raise SystemExit(
             f'only {len(starts)}/{args.num_pairs} feasible pairs after '
-            f'{attempts} attempts — nothing written; raise --num-samples/'
-            f'attempt budget or loosen --min-dist')
+            f'{attempts} planner attempts ({draws} draws) — nothing '
+            f'written; loosen --min-dist, lower --num-pairs, or pick a '
+            f'less constrained --env')
     with open(path, 'w') as f:
         json.dump(out, f, indent=1)
     print(f'{args.num_pairs} pairs written to {path}')

@@ -155,6 +155,11 @@ def load_test_configs(configs_dir, env_name, dof, num_problems):
     starts = np.asarray(d['start_cfgs'], np.float32)
     targets = np.asarray(d['target_cfgs'], np.float32)
     n = min(num_problems, len(starts))
+    if n < num_problems:
+        # loud, because a short env makes per-env summary stats
+        # incomparable with the rest of the matrix
+        print(f'WARNING: {path} holds only {n} pairs; env will run '
+              f'{n}/{num_problems} problems')
     return [(jnp.asarray(starts[i]), jnp.asarray(targets[i]))
             for i in range(n)]
 
@@ -240,6 +245,7 @@ def main():
                 recs.append(rec)
             summary = {
                 'dof': dof,
+                'n_problems': len(recs),
                 'backend': jax.default_backend(),
                 'success_rate': float(np.mean([r['success'] for r in recs])),
                 'valid_rate': float(np.mean([r['valid'] for r in recs])),
