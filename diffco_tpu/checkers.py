@@ -382,13 +382,7 @@ class RBFDiffCo(CollisionChecker):
         bias = self.safety_bias if bias is None else bias
         q = jnp.asarray(q)
         shape_q = q.shape
-        flat = q.reshape(-1, shape_q[-1])
-        nodes = getattr(self.perceptron, 'rbf_nodes', None)
-        single_out = nodes is None or nodes.ndim == 1 or nodes.shape[-1] == 1
-        if self.mesh is not None and single_out:
-            raw = self._sweep_scores(flat).reshape(-1, 1)
-        else:   # multi-output ([B, C]) perceptrons keep the direct route
-            raw = self.perceptron.poly_score(flat)
+        raw = self._sweep_raw(q.reshape(-1, shape_q[-1]))   # [B, C]
         raw = raw.reshape(shape_q[:-1] + raw.shape[1:])
         return raw + bias
 
@@ -417,20 +411,22 @@ class RBFDiffCo(CollisionChecker):
         return lambda q: fn(q, perceptron.support_transformed,
                             perceptron.rbf_nodes, perceptron.valid_mask, b)
 
-    def _sweep_scores(self, q):
-        """Proxy-score sweep over a [B, dof] batch; dp-sharded over the
-        mesh when one is set (padded rows are computed then dropped, so
-        reductions over the result see only real rows)."""
-        nodes = getattr(self.perceptron, 'rbf_nodes', None)
-        single_out = nodes is None or nodes.ndim == 1 or nodes.shape[-1] == 1
-        if self.mesh is None or not single_out:
-            # multi-output ([B, C]) perceptrons keep the direct route: the
-            # mesh body flattens each shard to [b, 1], which would
-            # silently interleave classes — the direct route fails loudly
-            # on the [B*C] vs [B] mismatch instead, same as without a mesh
-            return self.perceptron.poly_score(q).reshape(-1)
+    def _sweep_raw(self, q):
+        """Proxy-score sweep over a [B, dof] batch -> [B, C] (C=1 for
+        scalar perceptrons); dp-sharded over the mesh when one is set
+        (padded rows are computed then sliced off, so reductions over the
+        result see only real rows). Multi-output perceptrons shard the
+        same way — each device scores its local rows and keeps the class
+        axis, so classes never interleave across shards."""
+        if self.mesh is None:
+            s = self.perceptron.poly_score(q)
+            return s.reshape(s.shape[0], -1)
         qp, B = self._pad_shard(q)
-        return self._mesh_sweep_scores(qp).reshape(-1)[:B]
+        return self._mesh_sweep_scores(qp)[:B]
+
+    def _sweep_scores(self, q):
+        """Flat [B * C] view of ``_sweep_raw`` (what verify/bias use)."""
+        return self._sweep_raw(q).reshape(-1)
 
     def _mesh_sweep_scores(self, qp):
         """poly_score under ``shard_map`` over the mesh's data axis.
@@ -457,7 +453,8 @@ class RBFDiffCo(CollisionChecker):
                     perc.support_transformed = sup
                     perc.rbf_nodes = nodes
                     perc.valid_mask = mask
-                    return perc.poly_score(q_local).reshape(-1, 1)
+                    s = perc.poly_score(q_local)
+                    return s.reshape(s.shape[0], -1)   # keep the class axis
                 finally:
                     (perc.support_transformed, perc.rbf_nodes,
                      perc.valid_mask) = saved

@@ -33,10 +33,11 @@ def _planar_world():
 
 
 def test_mesh_sweep_multi_output_matches_direct(mesh):
-    """A multi-output ([B, C]) perceptron must NOT go through the meshed
-    shard_map sweep (whose per-shard [b, 1] flattening interleaves
-    classes): _sweep_scores must return exactly what the direct
-    poly_score route returns, mesh or no mesh."""
+    """A multi-output ([B, C]) perceptron's meshed sweep must keep the
+    class axis per shard (an earlier per-shard [b, 1] flatten interleaved
+    classes): _sweep_scores must match the direct poly_score route to
+    float tolerance (shard boundaries reorder the reductions), mesh or
+    no mesh."""
     robot, obs, gt = _planar_world()
     ck = dc.RBFDiffCo(robot=robot, gt_check_func=gt, seed=2, mesh=mesh,
                       perceptron_class=MultiDiffCo)
@@ -53,7 +54,11 @@ def test_mesh_sweep_multi_output_matches_direct(mesh):
     direct = np.asarray(ck.perceptron.poly_score(qs)).reshape(-1)
     swept = np.asarray(ck._sweep_scores(qs))
     assert swept.shape == direct.shape == (37 * 2,)
-    assert np.allclose(swept, direct, atol=1e-6)
+    assert np.allclose(swept, direct, atol=1e-4)
+    # interleaving-detector: each config's per-class pair must line up
+    # exactly (class 1 was trained as the negation of class 0)
+    pairs = swept.reshape(37, 2)
+    assert np.allclose(pairs[:, 0], -pairs[:, 1], atol=1e-4)
 
 
 def test_refit_reuses_score_programs(mesh):
