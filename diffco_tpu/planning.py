@@ -22,6 +22,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _bucket_rows(n: int, floor: int = 64) -> int:
+    """Next power-of-two row count >= n. Device calls from the planners
+    pad their batches to these buckets: tree sizes change every round, and
+    an un-bucketed call hands the jitted collision/score function a fresh
+    shape per round — on TPU that is a recompile (~1 min) per shape, which
+    would dwarf the batching win (CLAUDE.md fixed-shape invariant)."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(flat: np.ndarray, m: int) -> np.ndarray:
+    if m <= len(flat):
+        return flat
+    # repeat a REAL row: padded rows must be in-domain for the checker
+    return np.concatenate(
+        [flat, np.repeat(flat[-1:], m - len(flat), axis=0)], axis=0)
+
+
 class MotionPlanner:
     """RRT-Connect over the configuration space (ref motion_planner.py).
 
@@ -44,38 +64,33 @@ class MotionPlanner:
 
     # -- helpers ------------------------------------------------------------
 
-    def _motion_valid(self, a: np.ndarray, b: np.ndarray) -> bool:
-        ts = np.linspace(0.0, 1.0, self.check_resolution)[:, None]
-        pts = a[None] + ts * (b - a)[None]
-        self.cnt_check += len(pts)
-        hits = np.asarray(self.collision_fn(jnp.asarray(pts, jnp.float32)))
-        return not bool(hits.any())
-
     def _sample(self) -> np.ndarray:
         u = self.rng.rand(self.limits.shape[0])
         return self.limits[:, 0] + u * (self.limits[:, 1] - self.limits[:, 0])
 
-    @staticmethod
-    def _nearest(nodes: np.ndarray, q: np.ndarray) -> int:
-        return int(np.argmin(((nodes - q) ** 2).sum(1)))
+    def _collision_batch(self, flat: np.ndarray) -> np.ndarray:
+        """collision_fn on [N, dof] rows, padded to a power-of-two bucket
+        so the jitted checker sees a bounded set of shapes across rounds
+        (cnt_check counts only the real rows)."""
+        n = len(flat)
+        self.cnt_check += n
+        padded = _pad_rows(flat, _bucket_rows(n))
+        hits = np.asarray(self.collision_fn(
+            jnp.asarray(padded, jnp.float32)))
+        return hits.reshape(-1)[:n]
 
-    def _steer(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        d = np.linalg.norm(b - a)
-        if d <= self.step_size:
-            return b
-        return a + (b - a) * self.step_size / d
-
-    def _motions_valid_batch(self, starts: np.ndarray,
-                             ends: np.ndarray) -> np.ndarray:
+    def _motions_valid_batch(self, starts: np.ndarray, ends: np.ndarray,
+                             n_check: Optional[int] = None) -> np.ndarray:
         """Validate K motions in ONE device call — the TPU-native batching
-        the reference's per-edge OMPL/FCL checks cannot do."""
-        ts = np.linspace(0.0, 1.0, self.check_resolution)
+        the reference's per-edge OMPL/FCL checks cannot do. ``n_check``
+        overrides the per-motion densification count (the cross-tree
+        connection segments are longer than one step)."""
+        n_check = self.check_resolution if n_check is None else n_check
+        ts = np.linspace(0.0, 1.0, n_check)
         pts = starts[:, None, :] + ts[None, :, None] * (
             ends - starts)[:, None, :]
         flat = pts.reshape(-1, starts.shape[1])
-        self.cnt_check += len(flat)
-        hits = np.asarray(self.collision_fn(
-            jnp.asarray(flat, jnp.float32))).reshape(len(starts), -1)
+        hits = self._collision_batch(flat).reshape(len(starts), -1)
         return ~hits.any(axis=1)
 
     # -- batched RRT-Connect ---------------------------------------------
@@ -133,14 +148,8 @@ class MotionPlanner:
             n_check = max(self.check_resolution,
                           int(np.ceil(max_len / self.step_size))
                           * self.check_resolution)
-            ts = np.linspace(0.0, 1.0, n_check)
-            pts = new_nodes[:, None, :] + ts[None, :, None] * (
-                nodes_b[bi] - new_nodes)[:, None, :]
-            flat = pts.reshape(-1, new_nodes.shape[1])
-            self.cnt_check += len(flat)
-            hits = np.asarray(self.collision_fn(
-                jnp.asarray(flat, jnp.float32))).reshape(len(new_nodes), -1)
-            connected = ~hits.any(axis=1)
+            connected = self._motions_valid_batch(new_nodes, nodes_b[bi],
+                                                  n_check=n_check)
             if connected.any():
                 k = int(np.where(connected)[0][0])
                 path_a = self._trace(trees[a], added_idx[k])
@@ -196,12 +205,15 @@ class RRTStar:
         self.cnt_check = 0
 
     def _edge_costs(self, anchors: np.ndarray, b: np.ndarray) -> np.ndarray:
-        """Edge costs from each anchor to b, scores batched in one call."""
+        """Edge costs from each anchor to b, scores batched in one call
+        (rows padded to power-of-two buckets — see _bucket_rows)."""
         lengths = np.linalg.norm(anchors - b[None], axis=1)
         if self.score_fn is None:
             return lengths
-        mids = jnp.asarray((anchors + b[None]) / 2, jnp.float32)
-        sc = np.asarray(self.score_fn(mids)).reshape(-1)
+        mids = (anchors + b[None]) / 2
+        padded = _pad_rows(mids, _bucket_rows(len(mids)))
+        sc = np.asarray(self.score_fn(
+            jnp.asarray(padded, jnp.float32))).reshape(-1)[:len(mids)]
         return lengths * (1.0 + self.score_weight * np.maximum(0.0, sc))
 
     def _motions_valid(self, anchors: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -211,9 +223,12 @@ class RRTStar:
         pts = anchors[:, None, :] + ts[None, :, None] * (
             b[None, None, :] - anchors[:, None, :])
         flat = pts.reshape(-1, anchors.shape[1])
-        self.cnt_check += len(flat)
+        n = len(flat)
+        self.cnt_check += n
+        padded = _pad_rows(flat, _bucket_rows(n))
         hits = np.asarray(self.collision_fn(
-            jnp.asarray(flat, jnp.float32))).reshape(len(anchors), -1)
+            jnp.asarray(padded, jnp.float32)))
+        hits = hits.reshape(-1)[:n].reshape(len(anchors), -1)
         return ~hits.any(axis=1)
 
     def _motion_valid(self, a, b) -> bool:
@@ -226,7 +241,10 @@ class RRTStar:
         nodes = [start]
         parent = [-1]
         cost = [0.0]
-        best_goal_node, best_goal_cost = -1, np.inf
+        # node index -> cost of its (validated) final edge to the goal;
+        # the best goal node is chosen at the END so later rewires that
+        # cheapen an early candidate's subtree still count
+        goal_edges = {}
 
         for it in range(max_iters):
             q_rand = goal if self.rng.rand() < 0.1 else (
@@ -256,19 +274,38 @@ class RRTStar:
             parent.append(best_p)
             cost.append(best_c)
             idx_new = len(nodes) - 1
-            # rewire (reuse the batched validity/costs: symmetric segments)
+            # rewire (reuse the batched validity/costs: symmetric segments).
+            # No cycle risk: edge costs are >= 0 so cost is non-decreasing
+            # along any root path — an ancestor of idx_new can never satisfy
+            # c_through < cost[j].
             for kk, j in enumerate(near):
                 c_through = best_c + edge_c[kk]
                 if valid[kk] and c_through < cost[j]:
                     parent[j] = idx_new
+                    delta = cost[j] - c_through
                     cost[j] = c_through
-            if (np.linalg.norm(q_new - goal) < goal_tol
-                    and best_c < best_goal_cost
-                    and self._motion_valid(q_new, goal)):
-                best_goal_node, best_goal_cost = idx_new, best_c
+                    # propagate the improvement to j's whole subtree —
+                    # stale descendant costs would corrupt later parent
+                    # selection and the final goal-candidate comparison
+                    stack = [int(j)]
+                    while stack:
+                        p = stack.pop()
+                        for ch in range(len(parent)):
+                            if parent[ch] == p and ch != p:
+                                cost[ch] -= delta
+                                stack.append(ch)
+            if np.linalg.norm(q_new - goal) < goal_tol:
+                # record the FULL final-edge cost (ref rrt_star.py keeps
+                # the distance to goal in the comparison — dropping it let
+                # a node barely inside goal_tol beat a nearer, cheaper one)
+                if self._motion_valid(q_new, goal):
+                    goal_edges[idx_new] = float(
+                        self._edge_costs(q_new[None], goal)[0])
 
-        if best_goal_node < 0:
+        if not goal_edges:
             return None
+        best_goal_node = min(goal_edges,
+                             key=lambda j: cost[j] + goal_edges[j])
         path = [goal]
         idx = best_goal_node
         while idx >= 0:

@@ -165,12 +165,16 @@ def get_estimator(checker, method='rbf'):
 
 
 def test_checker(checker, score_fn, cfgs, labels, num_test=None,
-                 safety_bias=0.0, verbose=True):
+                 safety_margin=0.0, verbose=True):
     """ACC/TPR/TNR of a fitted checker on a labeled set
-    (ref routines.py:248-271)."""
+    (ref routines.py:248-271). ``safety_margin`` follows the reference's
+    sign convention — prediction is ``score - safety_margin > 0``, so the
+    conventional NEGATIVE margins (e.g. -0.3 throughout the reference
+    scripts) shift predictions toward 'collision' (conservative). This is
+    the OPPOSITE sign of the checkers' additive ``safety_bias``."""
     if num_test is not None:
         cfgs, labels = cfgs[:num_test], labels[:num_test]
-    scores = score_fn(cfgs) + safety_bias
+    scores = score_fn(cfgs) - safety_margin
     preds = (jnp.asarray(scores).reshape(labels.shape) > 0) * 2 - 1
     labels = jnp.asarray(labels)
     n_pos = jnp.maximum(jnp.sum(labels == 1), 1)
@@ -183,54 +187,46 @@ def test_checker(checker, score_fn, cfgs, labels, num_test=None,
     return float(acc), float(tpr), float(tnr)
 
 
+_CHECKER_STATE_KEYS = ('support_points', 'support_transformed', 'gains',
+                       'hypothesis', 'y', 'kernel_matrix', 'rbf_nodes',
+                       'valid_mask', 'distance')
+
+
 def save_pretrained_checker(checker, path: str):
     """Serialize checker state (arrays + hyperparams) — the reference
     pickles the whole object (routines.py:187-192); arrays-only npz is
-    robust across versions."""
-    state = {
-        'support_points': np.asarray(checker.support_points),
-        'support_transformed': np.asarray(checker.support_transformed),
-        'gains': np.asarray(checker.gains),
-        'hypothesis': np.asarray(checker.hypothesis),
-        'y': np.asarray(checker.y),
-        'kernel_matrix': np.asarray(checker.kernel_matrix),
-        'rbf_nodes': np.asarray(checker.rbf_nodes),
-        'valid_mask': np.asarray(checker.valid_mask),
-        'num_valid': checker.num_valid,
-    }
-    if checker.distance is not None:
-        state['distance'] = np.asarray(checker.distance)
+    robust across versions.
+
+    None-valued attributes are SKIPPED, not stored: a trained-but-
+    unfitted checker has rbf_nodes=None (and a lazy-trained one no
+    kernel_matrix) — np.asarray(None) would pickle an object array that
+    np.load(allow_pickle=False) can never read back, making the save
+    succeed and every restore fail."""
+    state = {k: np.asarray(getattr(checker, k))
+             for k in _CHECKER_STATE_KEYS
+             if getattr(checker, k, None) is not None}
+    state['num_valid'] = checker.num_valid
     np.savez(path, **state)
 
 
 def load_pretrained_checker(checker, path: str):
     """Restore checker state saved by save_pretrained_checker
-    (ref routines.py:143-156)."""
+    (ref routines.py:143-156). Keys absent from the file (saved as None)
+    are left at the checker's current value."""
     z = np.load(path)
-    for k in ('support_points', 'support_transformed', 'gains', 'hypothesis',
-              'y', 'kernel_matrix', 'rbf_nodes'):
-        setattr(checker, k, jnp.asarray(z[k]))
-    checker.valid_mask = jnp.asarray(z['valid_mask'])
+    for k in _CHECKER_STATE_KEYS:
+        if k in z.files:
+            setattr(checker, k, jnp.asarray(z[k]))
     checker.num_valid = int(z['num_valid'])
-    if 'distance' in z.files:
-        checker.distance = jnp.asarray(z['distance'])
     return checker
 
 
 def _checker_state_pytree(checker):
-    state = {
-        'support_points': checker.support_points,
-        'support_transformed': checker.support_transformed,
-        'gains': checker.gains,
-        'hypothesis': checker.hypothesis,
-        'y': checker.y,
-        'kernel_matrix': checker.kernel_matrix,
-        'rbf_nodes': checker.rbf_nodes,
-        'valid_mask': checker.valid_mask,
-        'num_valid': np.asarray(checker.num_valid),
-    }
-    if checker.distance is not None:
-        state['distance'] = checker.distance
+    # None-valued attributes are skipped (same contract as
+    # save_pretrained_checker): orbax stores arrays, not None leaves
+    state = {k: getattr(checker, k) for k in _CHECKER_STATE_KEYS
+             if getattr(checker, k, None) is not None}
+    state['num_valid'] = np.asarray(checker.num_valid)
     return state
 
 

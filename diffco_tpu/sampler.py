@@ -55,10 +55,17 @@ class OptimSampler:
             def step(carry, _):
                 q, opt_state = carry
                 g = jax.grad(loss)(q)
-                # freeze configurations that already escaped
-                free = (dist_est(q).reshape(-1) + stop_bias <= 0)
-                g = g * (1.0 - free.astype(q.dtype))[:, None]
+                # freeze configurations that already escaped — the UPDATE
+                # must be masked, not just the gradient: Adam's momentum
+                # keeps emitting nonzero updates for steps after g goes to
+                # zero, which let already-free configs drift back into
+                # collision
+                active = 1.0 - (dist_est(q).reshape(-1)
+                                + stop_bias <= 0).astype(q.dtype)
+                g = g * active[:, None]
                 updates, opt_state = opt.update(g, opt_state, q)
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * active[:, None], updates)
                 q = optax.apply_updates(q, updates)
                 q = jnp.clip(q, limits[:, 0], limits[:, 1])
                 return (q, opt_state), None
@@ -120,7 +127,13 @@ def uniform_sample_on_transformed_manifold(robot, transform: Callable,
     collision_checkers.py:396-452): accept q with probability
     sqrt(det(J J^T)) / max_det.
 
-    Host loop over fixed-shape device rounds; returns [num_samples, dof].
+    Host loop over fixed-shape device rounds; ALWAYS returns
+    [num_samples, dof] (the reference loops until filled,
+    collision_checkers.py:430-446): if the acceptance rate is too low to
+    fill within ``max_rounds`` — or the transform is everywhere singular
+    (max_det ~ 0) — the remainder is topped up with plain joint-space
+    uniform draws rather than silently returning a short batch (callers
+    size fixed-shape training sets off this count).
     """
     _det = jax.jit(lambda qq: manifold_jac_det(transform, qq))
     key, sub = jax.random.split(key)
@@ -130,18 +143,23 @@ def uniform_sample_on_transformed_manifold(robot, transform: Callable,
 
     accepted = []
     count = 0
-    for _ in range(max_rounds):
-        key, ku = jax.random.split(key)
-        u = jax.random.uniform(ku, (q.shape[0],))
-        mask = np.asarray(det > u * max_det)
-        acc = np.asarray(q)[mask]
-        accepted.append(acc)
-        count += len(acc)
-        if count >= num_samples:
-            break
+    if max_det > 0.0:
+        for _ in range(max_rounds):
+            key, ku = jax.random.split(key)
+            u = jax.random.uniform(ku, (q.shape[0],))
+            mask = np.asarray(det > u * max_det)
+            acc = np.asarray(q)[mask]
+            accepted.append(acc)
+            count += len(acc)
+            if count >= num_samples:
+                break
+            key, sub = jax.random.split(key)
+            q = robot.rand_configs(num_samples, sub)
+            det = _det(q)
+            # track the running max so late high-density draws stay valid
+            max_det = max(max_det, 1.1 * float(det.max()))
+    if count < num_samples:
         key, sub = jax.random.split(key)
-        q = robot.rand_configs(num_samples, sub)
-        det = _det(q)
-        # track the running max so late high-density draws stay valid
-        max_det = max(max_det, 1.1 * float(det.max()))
+        accepted.append(np.asarray(
+            robot.rand_configs(num_samples - count, sub)))
     return jnp.asarray(np.concatenate(accepted, axis=0)[:num_samples])
