@@ -5,8 +5,13 @@ ObstacleMotion/LinearMotion/SineMotion :66-89,
 deprecated/FCLChecker.py Simple1DDynamicChecker :93-116, and
 scripts/temporal1d_data_generation.py + simple_temporal_active.py).
 
-Obstacle motions are pure functions of time; the dynamic ground truth
-evaluates positions for a whole batch of (q, t) pairs in one shot.
+Obstacle motions are pure functions of time with the REFERENCE
+constructor signatures (``LinearMotion(A, B)`` -> A*t + B,
+``SineMotion(A, alpha, beta, bias)`` -> A*sin(alpha*t + beta) + bias);
+the dynamic ground truth evaluates a whole batch of (q, t) pairs in ONE
+jitted program — motion parameters travel as arguments, so obstacle
+motion never recompiles (the CLAUDE.md jit-boundary rule: eager
+per-obstacle labeling pays one tunnel dispatch per op).
 """
 from __future__ import annotations
 
@@ -18,46 +23,77 @@ import jax.numpy as jnp
 
 
 class ObstacleMotion:
-    """Base motion: position(t). Ref deprecated/Obstacles.py:66-72."""
+    """Base motion: predict(t) -> position. Ref deprecated/Obstacles.py:66-72
+    (the reference names the evaluator ``predict``; ``position`` is kept
+    as an alias for earlier revisions of this package)."""
 
-    def position(self, t):
+    def predict(self, t):
         raise NotImplementedError
 
-    def __call__(self, t):
-        return self.position(t)
+    def position(self, t):
+        return self.predict(t)
+
+    def __call__(self, *args, **kwargs):
+        return self.predict(*args, **kwargs)
 
 
 class LinearMotion(ObstacleMotion):
-    """x(t) = x0 + v * t. Ref :74-80."""
+    """x(t) = A * t + B. Ref :74-80 (A = velocity, B = start)."""
 
-    def __init__(self, x0, velocity):
-        self.x0 = jnp.asarray(x0, jnp.float32)
-        self.velocity = jnp.asarray(velocity, jnp.float32)
+    def __init__(self, A, B):
+        self.A = jnp.asarray(A, jnp.float32)
+        self.B = jnp.asarray(B, jnp.float32)
 
-    def position(self, t):
+    def predict(self, t):
         t = jnp.asarray(t, jnp.float32)
-        return self.x0 + self.velocity * t[..., None] \
-            if self.x0.ndim else self.x0 + self.velocity * t
+        if self.B.ndim:                      # vector-valued motion
+            return self.A * t[..., None] + self.B
+        return self.A * t + self.B
+
+    def _unified_params(self):
+        """(lin_A, lin_B, sin_A, alpha, beta) for the jitted checker."""
+        if self.A.ndim or self.B.ndim:
+            return None
+        return (float(self.A), float(self.B), 0.0, 0.0, 0.0)
 
 
 class SineMotion(ObstacleMotion):
-    """x(t) = x0 + A * sin(w t + phi) * direction. Ref :82-89."""
+    """x(t) = A * sin(alpha * t + beta) + bias. Ref :82-89."""
 
-    def __init__(self, x0, amplitude, omega, phase=0.0, direction=None):
-        self.x0 = jnp.asarray(x0, jnp.float32)
-        self.amplitude = float(amplitude)
-        self.omega = float(omega)
-        self.phase = float(phase)
-        if direction is None:
-            direction = np.ones(np.shape(x0)) if np.ndim(x0) else 1.0
-        self.direction = jnp.asarray(direction, jnp.float32)
+    def __init__(self, A, alpha, beta, bias):
+        self.A = float(A)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.bias = jnp.asarray(bias, jnp.float32)
 
-    def position(self, t):
+    def predict(self, t):
         t = jnp.asarray(t, jnp.float32)
-        s = self.amplitude * jnp.sin(self.omega * t + self.phase)
-        if self.x0.ndim:
-            return self.x0 + s[..., None] * self.direction
-        return self.x0 + s * self.direction
+        s = self.A * jnp.sin(self.alpha * t + self.beta)
+        if self.bias.ndim:
+            return s[..., None] + self.bias
+        return s + self.bias
+
+    def _unified_params(self):
+        if self.bias.ndim:
+            return None
+        return (0.0, float(self.bias), self.A, self.alpha, self.beta)
+
+
+@jax.jit
+def _dynamic_sd(params, halfs, xt):
+    """Signed distances for scalar motions in unified parameter form.
+
+    params: [n_obs, 5] rows (lin_A, lin_B, sin_A, alpha, beta) so that
+    center_i(t) = lin_A*t + lin_B + sin_A*sin(alpha*t + beta);
+    halfs: [n_obs] interval half-widths; xt: [B, 2] -> [B, n_obs].
+    One compiled program for ANY motion values — parameters are operands.
+    """
+    x, t = xt[:, 0], xt[:, 1]
+    tb = t[:, None]
+    centers = (params[None, :, 0] * tb + params[None, :, 1]
+               + params[None, :, 2]
+               * jnp.sin(params[None, :, 3] * tb + params[None, :, 4]))
+    return halfs[None, :] - jnp.abs(x[:, None] - centers)
 
 
 class Dynamic1DChecker:
@@ -70,14 +106,27 @@ class Dynamic1DChecker:
 
     def __init__(self, obstacles: Sequence[Tuple[ObstacleMotion, float]]):
         self.obstacles = list(obstacles)
+        unified = [getattr(m, '_unified_params', lambda: None)()
+                   for m, _ in obstacles]
+        if obstacles and all(u is not None for u in unified):
+            self._params = jnp.asarray(unified, jnp.float32)
+            self._halfs = jnp.asarray([h for _, h in obstacles],
+                                      jnp.float32)
+        else:
+            # custom ObstacleMotion subclass or vector-valued motion:
+            # fall back to the eager per-obstacle loop
+            self._params = None
+            self._halfs = None
 
     def signed_dist(self, xt):
         """xt: [B, 2] (position, time) -> [B, n_obs]; >0 = inside."""
-        xt = jnp.atleast_2d(jnp.asarray(xt))
+        xt = jnp.atleast_2d(jnp.asarray(xt, jnp.float32))
+        if self._params is not None:
+            return _dynamic_sd(self._params, self._halfs, xt)
         x, t = xt[:, 0], xt[:, 1]
         out = []
         for motion, half in self.obstacles:
-            center = motion.position(t)
+            center = motion.predict(t)
             out.append(half - jnp.abs(x - center))
         return jnp.stack(out, axis=-1)
 

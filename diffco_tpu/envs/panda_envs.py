@@ -43,15 +43,31 @@ class PandaEnv(CollisionEnv):
         return sub
 
     def is_collision(self, qs):
+        """Robot-vs-environment collision only — the reference's
+        `_single_collision` checks each object, never self-collision
+        (panda_envs.py:63-65); use robot.self_collision separately if
+        needed. Keeping both queries env-only also keeps is_collision
+        and distance sign-consistent."""
         qs = jnp.atleast_2d(jnp.asarray(qs))
-        return [bool(v) for v in np.asarray(
-            self.robot.collision(qs, other=self.env))]
+        env_sd, _ = self.robot.collision_signed_dist(qs, self.env)
+        if env_sd.shape[-1] == 0:
+            return [False] * int(qs.shape[0])
+        return [bool(v) for v in np.asarray(jnp.any(env_sd > 0, axis=-1))]
 
     def distance(self, qs):
+        """Separation distance per config — the REFERENCE convention
+        (panda_envs.py:67-69 `_single_distance` = min over objects of
+        closest-point distance): POSITIVE when free, negative when
+        penetrating, robot-vs-environment only (no self-collision term).
+        An obstacle-free environment returns +inf (nothing to collide
+        with), not a zero-size-reduction crash."""
         qs = jnp.atleast_2d(jnp.asarray(qs))
-        env_sd, self_sd = self.robot.collision_signed_dist(qs, self.env)
-        sd = jnp.maximum(jnp.max(env_sd, axis=-1), self_sd)
-        return [float(v) for v in np.asarray(sd)]
+        env_sd, _ = self.robot.collision_signed_dist(qs, self.env)
+        if env_sd.shape[-1] == 0:
+            return [float('inf')] * int(qs.shape[0])
+        # env_sd is penetration-positive; the reference reports separation
+        sep = -jnp.max(env_sd, axis=-1)
+        return [float(v) for v in np.asarray(sep)]
 
     def sample_q(self):
         return self.robot.rand_configs(1, self._next_key())[0]
@@ -76,15 +92,17 @@ class PandaThreeCylinderEnv(PandaEnv):
                 'type': 'Cylinder',
                 'params': {'radius': 0.05, 'height': 0.8},
                 'transform': _T(t)}
-            for i, t in enumerate([[0.5, -0.25, 0.4], [0.5, 0.0, 0.4],
-                                   [0.5, 0.25, 0.4]])
+            # poses match the reference exactly (panda_envs.py:96-113)
+            for i, t in enumerate([[0.3, -0.5, 0.4], [0.5, 0.0, 0.4],
+                                   [0.3, 0.5, 0.4]])
         }, **kwargs)
 
 
 class PandaSingleCuboidEnv(PandaEnv):
     def __init__(self, **kwargs):
         super().__init__(shapes={
+            # 0.2^3 cube at (0.5, 0, 0.4), matching panda_envs.py:122-127
             'cuboid1': {'type': 'Box',
-                        'params': {'extents': [0.3, 0.1, 0.5]},
-                        'transform': _T([0.55, 0.0, 0.35])},
+                        'params': {'extents': [0.2, 0.2, 0.2]},
+                        'transform': _T([0.5, 0.0, 0.4])},
         }, **kwargs)

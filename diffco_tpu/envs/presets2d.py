@@ -11,42 +11,52 @@ from __future__ import annotations
 import numpy as np
 
 # (kind, position, size[, class[, angle]])
+# Layouts are COORDINATE-EXACT copies of the reference's
+# predefined_obstacles (2d_data_generation.py:9-58) so datasets and
+# benchmarks run under these names are like-for-like comparable.
 ENVS = {
-    '1rect': [('rect', (2, 2), (2, 2))],
-    '3circle': [('circle', (0, 2), 1.5),
-                ('circle', (-2, -1), 1.0),
-                ('circle', (-2, 3), 1.0)],
+    '2circle': [('circle', (3, 2), 2.0),
+                ('circle', (-2, 3), 0.5)],
+    '1rect': [('rect', (3, 2), (2, 2))],
+    '3circle': [('circle', (0, 4.5), 1.0),
+                ('circle', (-2, -3), 2.0),
+                ('circle', (-2, 2), 1.5)],
     '1rect_1circle': [('rect', (4, 3), (2, 2)),
                       ('circle', (-4, -3), 1.0)],
     '1rect_active': [('rect', (-7, 3), (2, 2))],
     '2rect': [('rect', (4, 3), (2, 2)),
               ('rect', (-4, -3), (2, 2))],
-    '1rect_1circle_7d': [('rect', (4, 3), (2, 2)),
-                         ('circle', (-4, -3), 1.0)],
+    '1rect_1circle_7d': [('circle', (-2, 3), 1.0),
+                         ('rect', (3, 2), (2, 2))],
     '2class_1': [('rect', (5, 0), (2, 2), 0),
                  ('circle', (-3, 6), 1.0, 1),
                  ('rect', (-5, 2), (2, 1.5), 1),
-                 ('circle', (-5, -6), 1.0, 1),
-                 ('rect', (0, -7), (7, 1), 1)],
-    '2class_2': [('circle', (-2, 3), 1.0, 0),
-                 ('circle', (-3, -4), 1.0, 1)],
-    '3circle_7d': [('circle', (0, 2), 1.5),
-                   ('circle', (-2, -1), 1.0),
-                   ('circle', (-2, 3), 1.0)],
+                 ('circle', (-5, -2), 1.5, 1),
+                 ('circle', (-3, -6), 1.0, 1)],
+    '2class_2': [('rect', (0, 3), (16, 0.5), 1),
+                 ('rect', (0, -3), (16, 0.5), 0)],
+    '3circle_7d': [('circle', (-2, 2), 1.0),
+                   ('circle', (-3, 3), 1.0),
+                   ('circle', (-6, -3), 1.0)],
+    '2instance_big': [('rect', (5, 4), (4, 4), 0),
+                      ('circle', (-5, -4), 2.0, 1)],
 }
 
 
-def narrow_env(num_boxes=300, seed=1917, box_size=1.0, gap=1.5):
-    """'7d_narrow': a wall of random boxes with a narrow free gap
-    (ref 2d_data_generation.py:55-89)."""
+def narrow_env(num_boxes=300, seed=1917, box_size=1.0, gap=2.0):
+    """'7d_narrow': a wall of unit boxes with a narrow free corridor
+    (ref 2d_data_generation.py:60-76: 150 boxes uniform in
+    [-8, 8] x [1, 8] + 150 in [-8, 8] x [-8, -1], all size (1, 1) — the
+    free band is |y| < 1). The reference never seeds its layout; a seeded
+    rng here is the one deliberate difference (reproducibility)."""
     rng = np.random.RandomState(seed)
     obstacles = []
-    for _ in range(num_boxes):
+    half = num_boxes // 2
+    for i in range(num_boxes):
         x = rng.uniform(-8, 8)
-        y = rng.choice([-1, 1]) * rng.uniform(gap / 2, 8)
-        obstacles.append(('rect', (x, y),
-                          (box_size * rng.uniform(0.5, 1.5),
-                           box_size * rng.uniform(0.5, 1.5))))
+        lo, hi = (gap / 2, 8.0) if i < half else (-8.0, -gap / 2)
+        y = rng.uniform(lo, hi)
+        obstacles.append(('rect', (x, y), (box_size, box_size)))
     return obstacles
 
 

@@ -76,6 +76,8 @@ class PCDEnv:
     def __init__(self, point_cloud, point_radius: float = 0.01,
                  max_points: int = 4096):
         import jax.numpy as jnp
+        self.point_radius = float(point_radius)
+        self.max_points = int(max_points)
         pc = np.asarray(point_cloud, np.float32).reshape(-1, 3)
         if len(pc) > max_points:
             idx = np.random.RandomState(0).choice(len(pc), max_points,
@@ -95,4 +97,7 @@ class PCDEnv:
         self.object_names = [f'point_{i}' for i in range(len(pc))]
 
     def update_point_cloud(self, point_cloud):
-        self.__init__(point_cloud)
+        # keep the configured radius/cap — re-initializing with defaults
+        # silently shrank every point's collision radius to 0.01
+        self.__init__(point_cloud, point_radius=self.point_radius,
+                      max_points=self.max_points)

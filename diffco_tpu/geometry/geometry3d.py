@@ -148,6 +148,11 @@ class SceneArrays:
         return jnp.concatenate(outs, axis=-1)
 
 
+# local-frame (centers, radii) per (mesh path, scale, n_spheres) — see
+# the Mesh branch of scene_from_dict
+_mesh_sphere_cache = {}
+
+
 def scene_from_dict(shapes: Dict[str, dict], mesh_spheres: int = 16,
                     dtype=jnp.float32) -> Tuple[SceneArrays, List[str]]:
     """Build SceneArrays from a ShapeEnv-style dict (env_interface.py:35-48
@@ -178,10 +183,19 @@ def scene_from_dict(shapes: Dict[str, dict], mesh_spheres: int = 16,
             path = params.get('file_obj') or params.get('file_stl') \
                 or params.get('path')
             scale = float(params.get('scale', 1.0))
-            verts, faces = load_mesh(path)
-            verts = verts * scale
-            centers, radii = spheres_from_mesh(verts, faces,
-                                               n_spheres=mesh_spheres)
+            # cache the LOCAL-frame decomposition per (path, scale, n):
+            # ShapeEnv rebuilds the scene on every update_transform, and
+            # re-reading + re-clustering each mesh per obstacle move would
+            # dominate the advertised no-recompile fast path
+            ck = (path, scale, mesh_spheres)
+            hit = _mesh_sphere_cache.get(ck)
+            if hit is None:
+                verts, faces = load_mesh(path)
+                verts = verts * scale
+                hit = spheres_from_mesh(verts, faces,
+                                        n_spheres=mesh_spheres)
+                _mesh_sphere_cache[ck] = hit
+            centers, radii = hit
             centers = centers @ R.T + t
             msh.append((centers, radii))
             msh_n.append(name)

@@ -38,10 +38,12 @@ class Obstacle:
         point = jnp.atleast_2d(jnp.asarray(point))
         if self.kind == 'circle':
             d = jnp.sqrt(jnp.sum((point - self.position) ** 2, -1))
-            return d <= self.size
+            # ref :18: norm < size/2 — size is the DIAMETER (the ref's
+            # FCLObstacle treats it as radius; this class pins :5-25)
+            return d < self.size / 2
         half = jnp.asarray(self.size).reshape(-1) / 2
         return point_rect_sd(point, self.position, half,
-                             jnp.asarray(0.0)) <= 0
+                             jnp.asarray(0.0)) < 0
 
     def get_cost(self):
         return self.cost
@@ -116,14 +118,23 @@ class Simple1DDynamicObstacle:
 
 
 class Simple1DDynamicChecker(_Dynamic1DChecker):
-    """Ref FCLChecker.py:93-116, backed by dynamics.Dynamic1DChecker."""
+    """Ref FCLChecker.py:93-116, backed by dynamics.Dynamic1DChecker.
 
-    def __init__(self, obstacles: Sequence[Simple1DDynamicObstacle]):
+    The reference signature takes ``(obstacles, robot)`` and its
+    ``predict`` UNNORMALIZES X through the robot's limits first
+    (FCLChecker.py:102) — scripts feed [0, 1]-normalized (x, t) configs.
+    ``robot=None`` keeps raw-coordinate behavior."""
+
+    def __init__(self, obstacles: Sequence[Simple1DDynamicObstacle],
+                 robot=None):
         super().__init__([(o.position_func, o.size / 2) for o in obstacles])
         self.obstacle_objs = list(obstacles)
+        self.robot = robot
 
     def predict(self, X, distance=True):
         X = jnp.atleast_2d(jnp.asarray(X))
+        if self.robot is not None:
+            X = self.robot.unnormalize(X)
         sd = self.signed_dist(X)
         d = jnp.max(sd, axis=-1, keepdims=True)
         labels = (d > 0) * 2 - 1

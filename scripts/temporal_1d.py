@@ -36,9 +36,11 @@ def main():
     args = p.parse_args()
 
     limits = [[0.0, 10.0], [0.0, 10.0]]  # x, t
+    # reference signatures: LinearMotion(A, B) = A*t + B;
+    # SineMotion(A, alpha, beta, bias) = A*sin(alpha*t + beta) + bias
     gt = Dynamic1DChecker([
-        (LinearMotion(2.0, 0.5), 0.6),
-        (SineMotion(7.0, 2.0, 0.8), 0.5),
+        (LinearMotion(0.5, 2.0), 0.6),
+        (SineMotion(2.0, 0.8, 0.0, 7.0), 0.5),
     ])
     robot = PointRobot1D(limits)
     key = jax.random.PRNGKey(args.seed)

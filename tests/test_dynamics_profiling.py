@@ -11,19 +11,23 @@ from diffco_tpu.profiling import Timers, CheckCounter
 
 
 def test_motions():
-    lin = LinearMotion(2.0, 0.5)
-    assert np.isclose(float(lin.position(jnp.asarray(4.0))), 4.0)
-    sin = SineMotion(1.0, 2.0, np.pi / 2)
-    assert np.isclose(float(sin.position(jnp.asarray(1.0))), 3.0, atol=1e-5)
-    # vector-valued motion
-    lin2 = LinearMotion([0.0, 1.0], [1.0, 0.0])
+    # reference signatures (deprecated/Obstacles.py:74-89):
+    # LinearMotion(A, B) = A*t + B, called via predict()
+    lin = LinearMotion(0.5, 2.0)
+    assert np.isclose(float(lin.predict(jnp.asarray(4.0))), 4.0)
+    assert np.isclose(float(lin(jnp.asarray(4.0))), 4.0)   # __call__
+    # SineMotion(A, alpha, beta, bias) = A*sin(alpha*t + beta) + bias
+    sin = SineMotion(2.0, np.pi / 2, 0.0, 1.0)
+    assert np.isclose(float(sin.predict(jnp.asarray(1.0))), 3.0, atol=1e-5)
+    # vector-valued motion (extension; position() alias retained)
+    lin2 = LinearMotion([1.0, 0.0], [0.0, 1.0])
     p = np.asarray(lin2.position(jnp.asarray([0.0, 2.0])))
     assert np.allclose(p, [[0, 1], [2, 1]], atol=1e-6)
 
 
 def test_dynamic_checker_and_temporal_fit(key):
-    gt = Dynamic1DChecker([(LinearMotion(2.0, 0.5), 0.6),
-                           (SineMotion(7.0, 2.0, 0.8), 0.5)])
+    gt = Dynamic1DChecker([(LinearMotion(0.5, 2.0), 0.6),
+                           (SineMotion(2.0, 0.8, 0.0, 7.0), 0.5)])
     limits = [[0.0, 10.0], [0.0, 10.0]]
     xt, labels, dists = temporal_dataset(gt, limits, 2000, key)
     assert 0.05 < float(jnp.mean(labels > 0)) < 0.8
