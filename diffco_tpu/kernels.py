@@ -205,6 +205,12 @@ class LineKernel(KernelFunc):
     def __call__(self, xs, x_primes):
         xs = jnp.atleast_2d(jnp.asarray(xs))
         x_primes = jnp.atleast_2d(jnp.asarray(x_primes))
+        # fail fast like the reference (kernel.py:180-183): an odd width
+        # would silently split endpoints across the wrong boundary
+        if xs.shape[1] % 2 != 0 or x_primes.shape[1] != xs.shape[1]:
+            raise ValueError(
+                f'segment features must stack two equal-width endpoint '
+                f'configs, got widths {xs.shape[1]} / {x_primes.shape[1]}')
         dof = xs.shape[1] // 2
         return 0.5 * (self.point_kernel(xs[:, :dof], x_primes[:, :dof])
                       + self.point_kernel(xs[:, dof:], x_primes[:, dof:]))
@@ -220,6 +226,11 @@ class LineFKKernel(KernelFunc):
     def __call__(self, xs, x_primes):
         xs = jnp.atleast_2d(jnp.asarray(xs))
         x_primes = jnp.atleast_2d(jnp.asarray(x_primes))
+        if xs.shape[1] % 2 != 0 or x_primes.shape[1] != xs.shape[1]:
+            # ref kernel.py:197-199 asserts the same
+            raise ValueError(
+                f'segment features must stack two equal-width endpoint '
+                f'configs, got widths {xs.shape[1]} / {x_primes.shape[1]}')
         dof = xs.shape[1] // 2
         xs_controls = self.fkine(xs.reshape(-1, dof)).reshape(xs.shape[0], -1)
         xp_controls = self.fkine(

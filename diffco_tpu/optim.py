@@ -39,6 +39,10 @@ def _default_options(options: Optional[Dict]) -> Dict:
     o.setdefault('safety_margin', 0.0)
     o.setdefault('max_speed', 1.5)
     o.setdefault('seed', 0)
+    # densify the collision term between waypoints by default — the
+    # CLAUDE.md trajopt invariant (dense_sub >= 3); undensified optimizers
+    # thread between waypoints. Callers can still pass 1 explicitly.
+    o.setdefault('dense_sub', 3)
     o.setdefault('extra_optimizer_options', {})
     return o
 
@@ -216,6 +220,11 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
 
     if 'init_solution' in o and o['init_solution'] is not None:
         init = jnp.asarray(o['init_solution'], jnp.float32)
+        if init.shape[0] < 2:
+            # ref asserts len(init) >= 2; fail with the cause instead of
+            # a ZeroDivisionError in the resampling arithmetic below
+            raise ValueError(
+                f'init_solution needs >= 2 waypoints, got {init.shape[0]}')
         if init.shape[0] != n_waypoints:
             init = utils.dense_path(
                 init, max(1, -(-(n_waypoints - 1) // (init.shape[0] - 1))))
@@ -404,17 +413,12 @@ def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
     lambda <- max(0, lambda + mu * g).
     """
     dof = start_cfg.shape[-1]
-    n_dense = (n_waypoints - 1) * num_sub + 1
 
     def constraints(p):
         dense = utils.dense_path(p, num_sub)
-        viol = jnp.maximum(dist_est(dense[1:-1]).reshape(-1) - safety_margin,
-                           0.0)
-        # group per segment: each segment owns its start point plus the
-        # num_sub - 1 interior points; the excluded global start becomes a
-        # zero entry so the reshape is exact (cf. optim.py:199-206)
-        viol = jnp.concatenate([jnp.zeros(1, viol.dtype), viol])
-        g_col = viol.reshape(n_waypoints - 1, num_sub).sum(axis=1)
+        g_col = utils.segment_violations(dist_est(dense[1:-1]),
+                                         n_waypoints - 1, num_sub,
+                                         safety_margin)
         g_jl = jnp.sum(jnp.maximum(limits[:, 0] - p, 0.0)
                        + jnp.maximum(p - limits[:, 1], 0.0))
         return jnp.concatenate([g_col, g_jl[None]])
@@ -479,8 +483,7 @@ def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
     best_feasible = jnp.argmin(obj_rank)
     best_viol = jnp.argmin(viols)
     sel = jnp.where(any_found, best_feasible, best_viol)
-    return ps[sel], objs[sel], any_found, jnp.max(
-        jax.vmap(lambda p: jnp.max(constraints(p)))(ps[sel][None]))
+    return ps[sel], objs[sel], any_found, jnp.max(constraints(ps[sel]))
 
 
 def al_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
@@ -563,10 +566,8 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     def con_collision(x):
         p = assemble(x)
         dense = utils.dense_path(p, num_sub)
-        viol = jnp.maximum(
-            dist_est(dense[1:-1]).reshape(-1) - margin, 0.0)
-        viol = jnp.concatenate([jnp.zeros(1), viol])
-        return -viol.reshape(n_waypoints - 1, num_sub).sum(axis=1)
+        return -utils.segment_violations(dist_est(dense[1:-1]),
+                                         n_waypoints - 1, num_sub, margin)
 
     def con_jl(x):
         p = assemble(x)
@@ -591,7 +592,9 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     solution_rec = None
     for trial in range(int(o['NUM_RE_TRIALS'])):
         if trial == 0 and o.get('init_solution') is not None:
-            init_path = np.asarray(o['init_solution'], np.float64)
+            init_path = np.array(o['init_solution'], np.float64)
+            # np.array COPIES: the endpoint writes below must not
+            # mutate the caller's reusable init_solution in place
         elif trial == 0:
             init_path = np.linspace(start_np, target_np, n_waypoints)
         else:
@@ -673,11 +676,9 @@ def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
         dense = np.asarray(utils.dense_path(jnp.asarray(p, jnp.float32),
                                             num_sub))
         cnt_check += len(dense)
-        scores = np.asarray(checker(jnp.asarray(dense[1:-1],
-                                                jnp.float32))).reshape(-1)
-        viol = np.maximum(scores, 0.0)
-        viol = np.concatenate([[0.0], viol])
-        return -viol.reshape(n_waypoints - 1, num_sub).sum(axis=1)
+        scores = np.asarray(checker(jnp.asarray(dense[1:-1], jnp.float32)))
+        return -utils.segment_violations(scores, n_waypoints - 1, num_sub,
+                                         0.0, xp=np)
 
     def con_jl(x):
         p = pre(x)
@@ -695,7 +696,9 @@ def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
     res = None
     for trial in range(int(o['NUM_RE_TRIALS'])):
         if trial == 0 and o.get('init_solution') is not None:
-            init_path = np.asarray(o['init_solution'], np.float64)
+            init_path = np.array(o['init_solution'], np.float64)
+            # np.array COPIES: the endpoint writes below must not
+            # mutate the caller's reusable init_solution in place
         elif trial == 0:
             init_path = np.linspace(start_np, target_np, n_waypoints)
         else:
@@ -771,10 +774,8 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
         c(x) >= 0 convention like the reference)."""
         p = assemble(x)
         dense = utils.dense_path(p, num_sub)
-        viol = jnp.maximum(
-            dist_est(dense[1:-1]).reshape(-1) - margin, 0.0)
-        viol = jnp.concatenate([jnp.zeros(1), viol])
-        return -viol.reshape(n_waypoints - 1, num_sub).sum(axis=1)
+        return -utils.segment_violations(dist_est(dense[1:-1]),
+                                         n_waypoints - 1, num_sub, margin)
 
     def con_jl(x):
         p = assemble(x)
@@ -841,7 +842,9 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     solution_rec = None
     for trial in range(int(o['NUM_RE_TRIALS'])):
         if trial == 0 and o.get('init_solution') is not None:
-            init_path = np.asarray(o['init_solution'], np.float64)
+            init_path = np.array(o['init_solution'], np.float64)
+            # np.array COPIES: the endpoint writes below must not
+            # mutate the caller's reusable init_solution in place
         elif trial == 0:
             init_path = np.linspace(start_np, target_np, n_waypoints)
         else:
@@ -972,7 +975,25 @@ class Weighted(TrajOptimizer):
                           + self.joint_limit_weight * jl)
             return self.dif_weight * diff + constraint, constraint
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        # cache the compiled grad program across step() calls — an MPC
+        # loop calls step() every cycle, and a fresh jit wrapper per call
+        # retraces/recompiles the identical program each time. The
+        # checker's trained arrays are baked into the trace as constants,
+        # so the cache is keyed on their identities (refits assign new
+        # arrays) plus every hyperparameter the closure captures.
+        cache_key = (
+            p.shape, self.num_sub, self.dense_check, self.collision_weight,
+            self.max_move_weight, self.joint_limit_weight, self.safety_bias,
+            self.max_speed, self.dif_weight,
+            tuple(id(getattr(self.checker, a, None))
+                  for a in ('support_transformed', 'rbf_nodes',
+                            'valid_mask', 'gains')))
+        cached = getattr(self, '_grad_fn_cache', None)
+        if cached is not None and cached[0] == cache_key:
+            grad_fn = cached[1]
+        else:
+            grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+            self._grad_fn_cache = (cache_key, grad_fn)
         opt = optax.adam(self.lr)
         opt_state = opt.init(p)
         path_history = []

@@ -580,7 +580,11 @@ class DiffCo(Perceptron):
         """Compact to the fixed-size padded support set. ``K`` may be None
         (lazy-row training) — the [S, S] support Gram is then recomputed
         from the kept rows, which yields the identical entries."""
-        count = int(jnp.sum(gains != 0))
+        # count support ROWS — multi-class [N, C] gains would otherwise
+        # inflate the pad size by up to a factor of C (and hysteresis
+        # would make that permanent)
+        count = int(jnp.sum(gains != 0) if gains.ndim == 1
+                    else jnp.sum(jnp.any(gains != 0, axis=-1)))
         S = self._pad_size(max(count, 2))
         idx, valid, num_valid = extract_supports(gains, S)
         vf = valid.astype(Xt.dtype)
@@ -1097,7 +1101,13 @@ class MultiDimDiffCo(Perceptron):
     def _pad_size(self, count):
         if self.max_num_supports is not None:
             return self.max_num_supports
-        return max(64, int(np.ceil(count / 64.0)) * 64)
+        # same hysteresis as DiffCo._pad_size: active-learning support
+        # counts hovering around a 64-multiple boundary must not shrink
+        # and regrow the pad (each flip recompiles every S-shaped program)
+        size = max(64, int(np.ceil(count / 64.0)) * 64)
+        prev = (0 if self.support_points is None
+                else self.support_points.shape[0])
+        return max(size, prev)
 
     @property
     def valid_supports(self):
@@ -1174,6 +1184,13 @@ class MultiDimDiffCo(Perceptron):
         self.valid_mask = valid
         self.num_valid = int(num_valid)
         self.rbf_nodes = jnp.zeros_like(self.gains)
+        if count > S:
+            # top-S truncation breaks h_i = sum_j K[i, j, :].g_j (the
+            # warm-start invariant); recompute over the kept supports,
+            # mirroring DiffCo._select_supports
+            self.hypothesis = jnp.einsum(
+                'ijc,jc->i', self.kernel_matrix, self.gains,
+                precision='highest')
 
     def fit_poly(self, kernel_func=None, target='hypo'):
         """Least-squares fit over the flattened vector kernel

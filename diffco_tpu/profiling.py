@@ -38,12 +38,19 @@ class Timers:
             yield
         finally:
             if block:
-                # ensure device work launched inside the span is included
+                # ensure device work launched inside the span is included.
+                # A scalar fence on the default device only drains device
+                # 0's queue; sharded work on the other devices would still
+                # be in flight, under-reporting the span
                 try:
-                    jax.block_until_ready(
-                        jax.device_put(0.0) + 0.0)
+                    jax.effects_barrier()
                 except Exception:
-                    pass
+                    try:
+                        for d in jax.devices():
+                            jax.block_until_ready(
+                                jax.device_put(0.0, d) + 0.0)
+                    except Exception:
+                        pass
             self.total[name] += time.perf_counter() - t0
             self.count[name] += 1
 
@@ -71,7 +78,13 @@ class CheckCounter:
 
     def wrap(self, fn):
         def counted(q, *a, **kw):
-            self.count += int(q.shape[0]) if hasattr(q, 'shape') else 1
+            # count CONFIGS: a flat [dof] config is one query, not dof
+            # queries (0-/1-D inputs are accepted throughout the checkers)
+            ndim = getattr(q, 'ndim', None)
+            if ndim is None or ndim <= 1:
+                self.count += 1
+            else:
+                self.count += int(q.shape[0])
             return fn(q, *a, **kw)
         return counted
 

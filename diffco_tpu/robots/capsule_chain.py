@@ -19,15 +19,24 @@ from ..geometry.geometry3d import (spheres_vs_scene_signed_dist,
 
 
 def chain_sphere_centers(control_points: jnp.ndarray, per_seg: int,
-                         include_base: bool = True) -> jnp.ndarray:
+                         include_base: bool = True,
+                         base_origin=None) -> jnp.ndarray:
     """Interpolate sphere centers along consecutive control points.
 
     control_points: [B, M, 3] -> centers [B, (M'-1) * per_seg + 1, 3]
-    where M' = M + 1 when include_base adds the origin.
+    where M' = M + 1 when include_base prepends the robot's base origin
+    (``base_origin`` [3], default the world origin — pass the robot's
+    base translation for robots with a base transform, else the first
+    capsule sweeps a phantom link from (0,0,0) to the shoulder).
     """
     cp = control_points
     if include_base:
-        base = jnp.zeros_like(cp[:, :1])
+        if base_origin is None:
+            base = jnp.zeros_like(cp[:, :1])
+        else:
+            base = jnp.broadcast_to(
+                jnp.asarray(base_origin, cp.dtype).reshape(1, 1, 3),
+                cp[:, :1].shape)
         cp = jnp.concatenate([base, cp], axis=1)
     fr = jnp.arange(per_seg, dtype=cp.dtype) / per_seg      # [per_seg]
     seg = cp[:, 1:] - cp[:, :-1]                             # [B, M-1, 3]
@@ -41,16 +50,25 @@ class CapsuleChainCollision:
     SceneArrays / ShapeEnv scene."""
 
     def __init__(self, robot, link_radius: float = 0.06, per_seg: int = 4,
-                 include_base: bool = True):
+                 include_base: bool = True, scene=None):
         self.robot = robot
         self.link_radius = float(link_radius)
         self.per_seg = int(per_seg)
         self.include_base = include_base
+        # the base capsule anchors at the robot's base ORIGIN, not the
+        # world origin — a based robot would otherwise sweep a phantom
+        # link from (0,0,0) to its shoulder
+        base = getattr(robot, 'base', None)
+        self.base_origin = (None if base is None
+                            else np.asarray(base)[:3, 3])
+        # optional default scene for collision(q) with other=None
+        self._scene = scene.scene if hasattr(scene, 'scene') else scene
         self._jit_cache = {}
 
     def sphere_centers(self, q) -> jnp.ndarray:
         cp = self.robot.fkine(q)
-        return chain_sphere_centers(cp, self.per_seg, self.include_base)
+        return chain_sphere_centers(cp, self.per_seg, self.include_base,
+                                    base_origin=self.base_origin)
 
     def signed_dist(self, q, scene: SceneArrays) -> jnp.ndarray:
         """Max signed distance over objects per config: [B] (>0 inside)."""
@@ -69,6 +87,9 @@ class CapsuleChainCollision:
 
     def collision(self, q, other=None) -> jnp.ndarray:
         scene = other if other is not None else self._scene
+        if scene is None:
+            raise ValueError(
+                'no scene: pass other= or construct with scene=')
         return self.signed_dist(q, scene) > 0
 
     def checker_fn(self, scene):

@@ -172,6 +172,30 @@ def dense_path(q, num_sub: int) -> jnp.ndarray:
     return jnp.concatenate([pts, q[-1:]], axis=0)
 
 
+def segment_violations(scores, n_segments: int, num_sub: int,
+                       safety_margin=0.0, xp=jnp):
+    """Per-segment summed collision violations — the trajopt constraint
+    form shared by the AL core and the scipy parity optimizers (ref
+    optim.py:199-206: each segment owns its start point plus the
+    ``num_sub - 1`` interior points; the excluded global start becomes a
+    zero entry so the reshape is exact).
+
+    scores: ``dist_est`` output on ``dense_path(p, num_sub)[1:-1]`` —
+    flat ``[(n_segments * num_sub) - 1]``, or multi-output ``[B, C]``
+    (collapsed with max: the most violating class governs the
+    constraint). ``xp`` selects jnp (traced) or np (host scipy loops).
+    Returns ``[n_segments]``.
+    """
+    s = xp.asarray(scores)
+    if s.ndim > 1:
+        s = s.reshape(s.shape[0], -1).max(axis=-1)
+    else:
+        s = s.reshape(-1)
+    viol = xp.maximum(s - safety_margin, 0.0)
+    viol = xp.concatenate([xp.zeros(1, viol.dtype), viol])
+    return viol.reshape(n_segments, num_sub).sum(axis=1)
+
+
 def dense_path_params(q, max_step: float, max_dense_waypoints: int | None = None
                       ) -> int:
     """Host-side helper: pick the per-segment subdivision count that matches
@@ -197,7 +221,8 @@ def transform_points(rot, trans, points):
 
     points: [..., M, 3] -> [..., M, 3].
     """
-    return jnp.einsum('...ij,...mj->...mi', rot, points) + trans[..., None, :]
+    return jnp.einsum('...ij,...mj->...mi', rot, points,
+                      precision='highest') + trans[..., None, :]
 
 
 def look_mat4(rot, trans):

@@ -32,6 +32,19 @@ def main():
     p.add_argument('--num-pairs', type=int, default=10)
     p.add_argument('--min-dist', type=float, default=1.5,
                    help='min configuration-space distance between pairs')
+    p.add_argument('--plan-iters', type=int, default=300,
+                   help='RRT-Connect budget for the feasibility oracle; '
+                        'raise for narrow-passage envs where connected '
+                        'pairs need long plans to certify')
+    p.add_argument('--certify', choices=['rrt', 'walk'], default='rrt',
+                   help="feasibility oracle: 'rrt' certifies sampled "
+                        "pairs with RRT-Connect (the reference's design); "
+                        "'walk' BUILDS the target by a collision-checked "
+                        "random walk from the start, so connectivity holds "
+                        "by construction — use for narrow-passage envs "
+                        "where RRT certification is intractable")
+    p.add_argument('--walk-steps', type=int, default=400)
+    p.add_argument('--walk-step-size', type=float, default=0.15)
     p.add_argument('--seed', type=int, default=1917)
     p.add_argument('--output', default=None)
     args = p.parse_args()
@@ -59,21 +72,47 @@ def main():
 
     rng = np.random.RandomState(args.seed)
     starts, targets = [], []
-    # min-dist rejections are cheap draws and must not eat the (expensive)
-    # feasibility-oracle budget — a strict --min-dist would otherwise
-    # exhaust the budget before the planner ever runs and the script would
-    # wrongly report infeasibility
     attempts, draws = 0, 0
-    while len(starts) < args.num_pairs and attempts < 200 and draws < 20000:
-        draws += 1
-        i, j = rng.randint(len(free)), rng.randint(len(free))
-        if np.linalg.norm(free[i] - free[j]) < args.min_dist:
-            continue
-        attempts += 1
-        if planner.plan(free[i], free[j], max_iters=300) is None:
-            continue
-        starts.append(free[i].tolist())
-        targets.append(free[j].tolist())
+    if args.certify == 'walk':
+        # connectivity by construction: every accepted step's MOTION is
+        # collision-checked, so the walk itself is the feasibility
+        # certificate (narrow-passage components where RRT certification
+        # exhausts its budget are exactly where this matters)
+        limits = np.asarray(robot.limits)
+        while len(starts) < args.num_pairs and attempts < 200:
+            attempts += 1
+            q = free[rng.randint(len(free))].copy()
+            start = q.copy()
+            for _ in range(args.walk_steps):
+                cand = q[None] + rng.normal(
+                    scale=args.walk_step_size, size=(16, args.dof))
+                cand = np.clip(cand, limits[:, 0], limits[:, 1])
+                ok = planner._motions_valid_batch(
+                    np.repeat(q[None], len(cand), 0), cand)
+                hits = np.where(ok)[0]
+                if len(hits):
+                    q = cand[hits[0]]
+            if np.linalg.norm(start - q) < args.min_dist:
+                continue
+            starts.append(start.tolist())
+            targets.append(q.tolist())
+    else:
+        # min-dist rejections are cheap draws and must not eat the
+        # (expensive) feasibility-oracle budget — a strict --min-dist
+        # would otherwise exhaust the budget before the planner ever runs
+        # and the script would wrongly report infeasibility
+        while (len(starts) < args.num_pairs and attempts < 200
+               and draws < 20000):
+            draws += 1
+            i, j = rng.randint(len(free)), rng.randint(len(free))
+            if np.linalg.norm(free[i] - free[j]) < args.min_dist:
+                continue
+            attempts += 1
+            if planner.plan(free[i], free[j],
+                            max_iters=args.plan_iters) is None:
+                continue
+            starts.append(free[i].tolist())
+            targets.append(free[j].tolist())
     out = {'env_name': args.env, 'start_cfgs': starts,
            'target_cfgs': targets}
     path = args.output or f'test_configs_{args.env}_{args.dof}d.json'

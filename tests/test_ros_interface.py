@@ -1,10 +1,11 @@
 """Exercise diffco_tpu.ros_interface against a mocked ROS transport.
 
 No rospy exists in this environment, so these tests inject minimal fake
-``rospy`` / ``moveit_msgs`` / ``sensor_msgs`` modules and reload the
-module — verifying the service-call plumbing (the part the reference left
-broken: undefined ``states`` at ros_interface.py:56-68 and the missing
-StateValidity import) without real robot middleware.
+``rospy`` / ``moveit_msgs`` / ``shape_msgs`` / ``geometry_msgs`` /
+``sensor_msgs`` modules and reload the module — verifying the node
+bring-up, service-call, and planning-scene-diff plumbing (the parts the
+reference left broken or that a live stack would reject) without real
+robot middleware.
 """
 import importlib
 import sys
@@ -58,20 +59,79 @@ class _FakePublisher:
         self.published.append(msg)
 
 
+class _FakeWorld:
+    def __init__(self):
+        self.collision_objects = []
+
+
 class _FakePlanningScene:
     def __init__(self):
         self.is_diff = False
+        self.world = _FakeWorld()
+
+
+class _FakeHeader:
+    def __init__(self):
+        self.frame_id = ''
+
+
+class _FakeCollisionObject:
+    ADD = 0
+    REMOVE = 1
+
+    def __init__(self):
+        self.id = ''
+        self.header = _FakeHeader()
+        self.operation = None
+        self.primitives = []
+        self.primitive_poses = []
+
+
+class _XYZW:
+    def __init__(self):
+        self.x = self.y = self.z = 0.0
+        self.w = 1.0
+
+
+class _FakePose:
+    def __init__(self):
+        self.position = _XYZW()
+        self.orientation = _XYZW()
+
+
+class _FakeSolidPrimitive:
+    BOX = 1
+
+    def __init__(self):
+        self.type = None
+        self.dimensions = []
 
 
 @pytest.fixture()
 def ros_interface_mocked(monkeypatch):
     joint_names = ['j1', 'j2', 'j3']
+    node_state = {'initialized': False, 'init_calls': 0}
 
     rospy = types.ModuleType('rospy')
     rospy.wait_for_service = lambda name, timeout=None: None
     rospy.ServiceProxy = _FakeServiceProxy
     rospy.Publisher = _FakePublisher
-    rospy.get_param = lambda key, default=None: joint_names
+
+    def get_param(key, default=None):
+        if key.endswith('/joint_names') and 'my_robot' in key:
+            return joint_names
+        return default
+
+    rospy.get_param = get_param
+
+    def init_node(name, anonymous=False, disable_signals=False):
+        node_state['initialized'] = True
+        node_state['init_calls'] += 1
+
+    rospy.init_node = init_node
+    core = types.ModuleType('rospy.core')
+    core.is_initialized = lambda: node_state['initialized']
+    rospy.core = core
 
     moveit_msgs = types.ModuleType('moveit_msgs')
     srv = types.ModuleType('moveit_msgs.srv')
@@ -80,9 +140,19 @@ def ros_interface_mocked(monkeypatch):
     msg = types.ModuleType('moveit_msgs.msg')
     msg.RobotState = _FakeRobotState
     msg.PlanningScene = _FakePlanningScene
-    msg.CollisionObject = object()
+    msg.CollisionObject = _FakeCollisionObject
     moveit_msgs.srv = srv
     moveit_msgs.msg = msg
+
+    shape_msgs = types.ModuleType('shape_msgs')
+    shape_msg = types.ModuleType('shape_msgs.msg')
+    shape_msg.SolidPrimitive = _FakeSolidPrimitive
+    shape_msgs.msg = shape_msg
+
+    geometry_msgs = types.ModuleType('geometry_msgs')
+    geometry_msg = types.ModuleType('geometry_msgs.msg')
+    geometry_msg.Pose = _FakePose
+    geometry_msgs.msg = geometry_msg
 
     sensor_msgs = types.ModuleType('sensor_msgs')
     sensor_msg = types.ModuleType('sensor_msgs.msg')
@@ -91,16 +161,23 @@ def ros_interface_mocked(monkeypatch):
 
     for name, mod in [('rospy', rospy), ('moveit_msgs', moveit_msgs),
                       ('moveit_msgs.srv', srv), ('moveit_msgs.msg', msg),
+                      ('shape_msgs', shape_msgs),
+                      ('shape_msgs.msg', shape_msg),
+                      ('geometry_msgs', geometry_msgs),
+                      ('geometry_msgs.msg', geometry_msg),
                       ('sensor_msgs', sensor_msgs),
                       ('sensor_msgs.msg', sensor_msg)]:
         monkeypatch.setitem(sys.modules, name, mod)
 
     import diffco_tpu.ros_interface as ri
     importlib.reload(ri)
+    ri._node_state = node_state      # expose for assertions
     yield ri
     # restore the module to its ROS-less state for other tests
     for name in ['rospy', 'moveit_msgs', 'moveit_msgs.srv',
-                 'moveit_msgs.msg', 'sensor_msgs', 'sensor_msgs.msg']:
+                 'moveit_msgs.msg', 'shape_msgs', 'shape_msgs.msg',
+                 'geometry_msgs', 'geometry_msgs.msg',
+                 'sensor_msgs', 'sensor_msgs.msg']:
         sys.modules.pop(name, None)
     importlib.reload(ri)
 
@@ -109,6 +186,8 @@ def test_ros_env_collision_labels(ros_interface_mocked):
     ri = ros_interface_mocked
     env = ri.ROSRobotEnv(robot_topic='/my_robot')
     assert env._n_dofs == 3
+    # Publisher/ServiceProxy need a node (ref ros_interface.py:32)
+    assert ri._node_state['initialized']
     q = np.array([[0.5, 0.0, 0.0],    # first joint > 0 -> invalid
                   [-0.2, 1.0, 0.0],
                   [0.1, -1.0, 2.0]])
@@ -128,14 +207,49 @@ def test_ros_env_flat_config(ros_interface_mocked):
     assert labels.tolist() == [True]
 
 
-def test_planning_scene_modifier(ros_interface_mocked):
+def test_ros_env_missing_joint_names_fails_fast(ros_interface_mocked):
+    """An unset joint_names param must raise a clear error at
+    construction, not a reshape-into-(…, 0) error at query time."""
     ri = ros_interface_mocked
-    obstacles = {'box': {'pose': [0, 0, 0]}}
+    with pytest.raises(ValueError, match='joint_names'):
+        ri.ROSRobotEnv(robot_topic='/other_robot')
+
+
+def test_init_node_called_once(ros_interface_mocked):
+    ri = ros_interface_mocked
+    ri.ROSRobotEnv(robot_topic='/my_robot')
+    ri.PlanningSceneModifier({})
+    assert ri._node_state['init_calls'] == 1   # second bring-up skipped
+
+
+def test_planning_scene_modifier_publishes_objects(ros_interface_mocked):
+    """publish_scene must carry real CollisionObject diffs — an empty
+    is_diff scene changes nothing in MoveIt."""
+    ri = ros_interface_mocked
+    obstacles = {'box': {'pose': [0, 0, 0], 'dim': [0.2, 0.3, 0.4],
+                         'z_offset': 0.1}}
     mod = ri.PlanningSceneModifier(obstacles)
     mod.permute_obstacles({'box': [1.0, 2.0, 3.0]})
     assert obstacles['box']['pose'] == [1.0, 2.0, 3.0]
     assert len(mod._scene_pub.published) == 1
-    assert mod._scene_pub.published[0].is_diff is True
+    scene = mod._scene_pub.published[0]
+    assert scene.is_diff is True
+    assert len(scene.world.collision_objects) == 1
+    co = scene.world.collision_objects[0]
+    assert co.id == 'box' and co.operation == _FakeCollisionObject.ADD
+    assert co.primitives[0].dimensions == [0.2, 0.3, 0.4]
+    pose = co.primitive_poses[0]
+    assert (pose.position.x, pose.position.y) == (1.0, 2.0)
+    assert pose.position.z == pytest.approx(3.1)   # pose z + z_offset
+
+
+def test_planning_scene_mesh_rejected(ros_interface_mocked):
+    ri = ros_interface_mocked
+    mod = ri.PlanningSceneModifier(
+        {'m': {'pose': [0, 0, 0], 'is_mesh': True,
+               'mesh_file': 'x.stl', 'dim': [1, 1, 1]}})
+    with pytest.raises(NotImplementedError):
+        mod.publish_scene()
 
 
 def test_import_error_without_ros():
