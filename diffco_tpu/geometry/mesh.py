@@ -77,10 +77,26 @@ def load_obj(path: str):
 
 
 def load_dae(path: str):
-    """Minimal COLLADA loader: concatenates every <float_array> that backs a
-    POSITION source. Good enough for collision keypoints / sphere fits."""
+    """Minimal COLLADA loader: concatenates every <float_array> that backs
+    a POSITION source, applying the document's <unit meter=...> scale and
+    Z-up conversion for <up_axis>. Good enough for collision keypoints /
+    sphere fits (per-node transforms are NOT applied — multi-node scenes
+    with placed instances need a real COLLADA library)."""
     ns = {'c': 'http://www.collada.org/2005/11/COLLADASchema'}
     root = ET.parse(path).getroot()
+    # asset scale/orientation: vendor collision meshes are frequently
+    # authored in mm (<unit meter="0.001">) — ignoring it made every
+    # sphere fit 1000x too large
+    scale = 1.0
+    up = 'Z_UP'
+    asset = root.find('c:asset', ns)
+    if asset is not None:
+        unit = asset.find('c:unit', ns)
+        if unit is not None and unit.get('meter'):
+            scale = float(unit.get('meter'))
+        up_el = asset.find('c:up_axis', ns)
+        if up_el is not None and up_el.text:
+            up = up_el.text.strip().upper()
     verts = []
     for geom in root.iter('{http://www.collada.org/2005/11/COLLADASchema}geometry'):
         for src in geom.iter('{http://www.collada.org/2005/11/COLLADASchema}source'):
@@ -90,11 +106,16 @@ def load_dae(path: str):
             fa = src.find('c:float_array', ns)
             if fa is None or fa.text is None:
                 continue
-            vals = np.fromstring(fa.text, sep=' ', dtype=np.float32)
+            vals = np.fromiter((float(t) for t in fa.text.split()),
+                               dtype=np.float32)
             verts.append(vals.reshape(-1, 3))
     if not verts:
         raise ValueError(f'no POSITION sources found in {path}')
-    v = np.concatenate(verts, axis=0)
+    v = np.concatenate(verts, axis=0) * scale
+    if up == 'Y_UP':       # COLLADA Y-up -> URDF Z-up: (x, y, z)->(x, -z, y)
+        v = np.stack([v[:, 0], -v[:, 2], v[:, 1]], axis=1)
+    elif up == 'X_UP':     # X-up -> Z-up: (x, y, z) -> (-z, y, x)
+        v = np.stack([-v[:, 2], v[:, 1], v[:, 0]], axis=1)
     return v, np.zeros((0, 3), np.int32)
 
 
@@ -187,7 +208,10 @@ def spheres_from_primitive(kind: str, params: dict, n: int = 4
         r = float(params['radius'])
         h = float(params.get('length', params.get('height', 0.0)))
         n_ax = max(1, int(np.ceil(h / (2 * r))) if r > 0 else n)
-        n_ax = min(max(n_ax, 1), max(n, n_ax))
+        # the caller's sphere budget n CAPS the axial count (a long thin
+        # cylinder would otherwise emit ceil(h/2r) spheres regardless);
+        # the per-sphere radius below absorbs the coarser split
+        n_ax = min(n_ax, max(n, 1))
         zs = np.linspace(-h / 2, h / 2, n_ax + 1)
         zs = (zs[:-1] + zs[1:]) / 2 if n_ax > 0 else np.zeros(1)
         half_seg = (h / max(n_ax, 1)) / 2
@@ -197,9 +221,12 @@ def spheres_from_primitive(kind: str, params: dict, n: int = 4
         return centers.astype(np.float32), np.full(len(zs), rad, np.float32)
     if kind == 'box':
         sx, sy, sz = [float(s) for s in params['size']]
-        # split the longest axis into ceil(long / short) cells
+        # split the longest axis into ceil(long / short) cells; clamp the
+        # divisor so a zero-thickness dimension (thin-plate boxes exist in
+        # real URDFs) cannot divide by zero / cast NaN to int
         dims = np.array([sx, sy, sz])
-        n_split = np.maximum(1, np.ceil(dims / dims.min()).astype(int))
+        shortest = max(dims.min(), 1e-6)
+        n_split = np.maximum(1, np.ceil(dims / shortest).astype(int))
         n_split = np.minimum(n_split, 4)
         grids = [np.linspace(-d / 2, d / 2, k + 1) for d, k in
                  zip(dims, n_split)]

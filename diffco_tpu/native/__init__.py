@@ -33,10 +33,13 @@ def _build() -> str:
 
 
 def available() -> bool:
+    # OSError covers ctypes.CDLL failures on a stale/foreign binary
+    # (missing libgomp, glibc mismatch after a clone where .so and .cpp
+    # share a checkout mtime) — available() must stay a bool probe
     try:
         load()
         return True
-    except RuntimeError:
+    except (RuntimeError, OSError):
         return False
 
 
@@ -47,7 +50,12 @@ def load() -> ctypes.CDLL:
     if not os.path.exists(_SO) or (
             os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         _build()
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # stale committed binary from another machine: rebuild once
+        _build()
+        lib = ctypes.CDLL(_SO)
     c_d = ctypes.POINTER(ctypes.c_double)
     c_i32 = ctypes.POINTER(ctypes.c_int32)
     lib.batch_spheres_vs_scene.argtypes = [

@@ -248,7 +248,15 @@ def chain_from_joint_list(joints: List[dict], root_name: str = 'base',
     joint_names: List[str] = [''] * L
 
     tmap = {'fixed': FIXED, 'revolute': REVOLUTE, 'continuous': REVOLUTE,
-            'prismatic': PRISMATIC, 'floating': FIXED, 'planar': FIXED}
+            'prismatic': PRISMATIC}
+    unsupported = [j['name'] for j in joints if j['type'] not in tmap]
+    if unsupported:
+        # 'floating' (6 dof) / 'planar' (3 dof) must not silently weld the
+        # child in place — that produces plausible-looking wrong FK
+        raise ValueError(
+            f'unsupported URDF joint type(s) on {unsupported}: only '
+            f'fixed/revolute/continuous/prismatic (+ mimic) are modeled; '
+            f'decompose floating/planar joints into single-dof joints')
     n_dofs = 0
     limits: List[Tuple[float, float]] = []
     joint_dof: Dict[str, int] = {}

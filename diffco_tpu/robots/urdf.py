@@ -172,6 +172,27 @@ class URDFRobot:
         del device, load_visual_meshes
         self.urdf_path = urdf_path
         robot_name, joints, link_geoms, root_link = parse_urdf(urdf_path)
+        if keep_joints is not None:
+            # restrict the actuated set (ref urdf_interface.py keep_joints):
+            # joints NOT kept are frozen at q = 0 (converted to fixed, so
+            # their origin transform survives); mimics of a frozen joint
+            # freeze with it
+            keep = set(keep_joints)
+            known = {j['name'] for j in joints}
+            unknown = keep - known
+            if unknown:
+                raise ValueError(
+                    f'keep_joints names not in {urdf_path}: '
+                    f'{sorted(unknown)}')
+            frozen = {j['name'] for j in joints
+                      if j['type'] != 'fixed' and j['name'] not in keep
+                      and j['mimic'] is None}
+            for j in joints:
+                if (j['name'] in frozen
+                        or (j['mimic'] is not None
+                            and j['mimic'][0] in frozen)):
+                    j['type'] = 'fixed'
+                    j['mimic'] = None
         self.name = name or robot_name
         self.spec: ChainSpec = chain_from_joint_list(joints,
                                                      root_name=root_link)
@@ -319,24 +340,34 @@ class URDFRobot:
         all other link pairs are checked by self-collision."""
         spec = self.spec
         L = spec.n_links
-        # effective parent: skip chains of fixed joints so links rigidly
-        # attached through intermediate fixed links count as adjacent
-        def moving_ancestor(i):
-            p = int(spec.parent[i])
-            while p >= 0 and spec.jtype[p] == FIXED and \
-                    int(spec.parent[p]) >= 0:
-                p = int(spec.parent[p])
-            return p
 
+        # Collapse fixed joints into RIGID GROUPS (MoveIt's "Adjacent"
+        # semantics): links in one group cannot move relative to each
+        # other, and two groups joined by a single moving joint are
+        # adjacent. Pairing only each link with its direct parent and top
+        # moving ancestor missed intermediate fixed links (e.g. finger vs
+        # a fixed wrist flange), wrongly self-collision-checking pairs
+        # that are rigid neighbors.
+        def rigid_root(i):
+            # highest ancestor rigidly connected to i (jtype[r] is the
+            # joint attaching link r to its parent)
+            r = i
+            while int(spec.parent[r]) >= 0 and spec.jtype[r] == FIXED:
+                r = int(spec.parent[r])
+            return r
+
+        group = [rigid_root(i) for i in range(L)]
         adjacent = set()
         for i in range(L):
-            p = moving_ancestor(i)
-            if p >= 0:
-                adjacent.add((min(i, p), max(i, p)))
-            # direct parent too
-            dp = int(spec.parent[i])
-            if dp >= 0:
-                adjacent.add((min(i, dp), max(i, dp)))
+            for j in range(i + 1, L):
+                gi, gj = group[i], group[j]
+                if gi == gj:
+                    adjacent.add((i, j))
+                    continue
+                pi, pj = int(spec.parent[gi]), int(spec.parent[gj])
+                if (pi >= 0 and group[pi] == gj) or \
+                        (pj >= 0 and group[pj] == gi):
+                    adjacent.add((i, j))
         adjacent |= self._load_srdf_disabled()
 
         li = np.asarray(self.sphere_link_idx)
@@ -424,7 +455,10 @@ class URDFRobot:
 
     def _unique_position_link_indices(self):
         names = self.spec.unique_position_link_names
-        return jnp.asarray([self.spec.link_index(n) for n in names])
+        # explicit int dtype: an empty list would default to float and
+        # float-index tr[:, sel] with an IndexError
+        return jnp.asarray([self.spec.link_index(n) for n in names],
+                           jnp.int32)
 
     @property
     def unique_position_link_names(self):
@@ -462,8 +496,28 @@ class URDFRobot:
         _, self_sd = self.collision_signed_dist(q, None)
         return self_sd > 0
 
+    @property
+    def _revolute_dof_mask(self):
+        mask = getattr(self, '_rev_mask_cache', None)
+        if mask is None:
+            from .kinematics import REVOLUTE
+            m = np.zeros(self._n_dofs, bool)
+            for i in range(self.spec.n_links):
+                d = int(self.spec.dof_idx[i])
+                if (d >= 0 and self.spec.jtype[i] == REVOLUTE
+                        and self.spec.mimic_mult[i] == 1.0
+                        and self.spec.mimic_offset[i] == 0.0):
+                    m[d] = True
+            mask = jnp.asarray(m)
+            self._rev_mask_cache = mask
+        return mask
+
     def wrap(self, q):
-        return wrap2pi(q)
+        """Angle-wrap the REVOLUTE dofs only — wrapping a prismatic
+        coordinate (e.g. a 4 m rail position) would teleport it by 2*pi
+        meters."""
+        q = jnp.asarray(q)
+        return jnp.where(self._revolute_dof_mask, wrap2pi(q), q)
 
 
 class MultiURDFRobot:
@@ -504,21 +558,17 @@ class MultiURDFRobot:
         return [r.compute_forward_kinematics_all_links(qq, return_collision)
                 for r, qq in zip(self.robots, qs)]
 
-    def collision(self, q, other=None, show=False):
-        del show
-        qs = self.split_q(q)
+    def _inter_robot_hit(self, qs):
+        """Inter-robot pairwise sphere checks for split configs."""
         B = qs[0].shape[0]
         hit = jnp.zeros(B, bool)
-        centers_all, radii_all = [], []
-        for r, qq in zip(self.robots, qs):
-            hit = jnp.logical_or(hit, r.collision(qq, other))
-            centers_all.append(r.sphere_centers_world(qq))
-            radii_all.append(r.link_sphere_radii)
-        # inter-robot collision: pairwise sphere-set checks
+        centers_all = [r.sphere_centers_world(qq)
+                       for r, qq in zip(self.robots, qs)]
         for a in range(len(self.robots)):
             for b in range(a + 1, len(self.robots)):
                 ca, cb = centers_all[a], centers_all[b]
-                ra, rb = radii_all[a], radii_all[b]
+                ra = self.robots[a].link_sphere_radii
+                rb = self.robots[b].link_sphere_radii
                 if ca.shape[1] == 0 or cb.shape[1] == 0:
                     continue
                 d = jnp.sqrt(jnp.sum(
@@ -529,8 +579,34 @@ class MultiURDFRobot:
                     overlap.reshape(B, -1), axis=-1) > 0)
         return hit
 
+    def collision(self, q, other=None, show=False):
+        """Env/self collision per robot OR any inter-robot overlap.
+
+        The whole check runs as ONE compiled program (CLAUDE.md labeling
+        rule: the previous eager per-op loop paid a tunnel dispatch per
+        subtract/sum/sqrt per robot pair on every labeling call)."""
+        del show
+        if getattr(self, '_collision_jit', None) is None:
+            def _all(qfull, scene):
+                qs = self.split_q(qfull)
+                hit = self._inter_robot_hit(qs)
+                for r, qq in zip(self.robots, qs):
+                    hit = jnp.logical_or(hit, r.collision(qq, scene))
+                return hit
+
+            self._collision_jit = jax.jit(_all)
+            self._collision_jit_noscene = jax.jit(
+                lambda qfull: _all(qfull, None))
+        q = jnp.atleast_2d(jnp.asarray(q))
+        if other is None:
+            return self._collision_jit_noscene(q)
+        scene = other.scene if hasattr(other, 'scene') else other
+        return self._collision_jit(q, scene)
+
     def wrap(self, q):
-        return wrap2pi(q)
+        q = jnp.asarray(q)
+        mask = jnp.concatenate([r._revolute_dof_mask for r in self.robots])
+        return jnp.where(mask, wrap2pi(q), q)
 
 
 # ---------------------------------------------------------------------------
