@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .fused_score import (_HAS_PALLAS, _interpret, _round_up,
+                          _tile_b as _fused_tile_b,
                           fused_score_available, polyharmonic_score)
 
 if _HAS_PALLAS:
@@ -170,20 +171,9 @@ def _make_dh_score_kernel(dh_const, point_specs, base, n_joints, n_pts,
     return kernel
 
 
-def _tile_b(S: int) -> int:
-    # the [S, TB] fp32 distance block + bf16 copies + the [F_pad, TB]
-    # point/gradient blocks must fit VMEM (~16 MB): keep S * TB around
-    # 2^20 elements (4 MB fp32). Bigger tiles amortize the per-tile
-    # matvec/setup work, but only up to a point: the roofline tile sweeps
-    # (benchmarks/roofline.json) measured 0.40-0.46 / 0.28-0.29 ms per
-    # step at TB=256/512 against 0.19-0.21 at TB=1024 and 0.21-0.22 at
-    # TB=2048 (S=512) — past 1024 the larger VMEM working set costs more
-    # than the amortization buys, so cap the tile at 1024.
-    # floor to a multiple of 256: TB is the lane dimension of every
-    # BlockSpec here, and non-128-aligned tiles (e.g. 2^20//1152 = 910
-    # for a 1152-support pad) would hit untested Mosaic lowerings
-    tb = (1 << 20) // max(S, 1)
-    return int(min(1024, max(256, (tb // 256) * 256)))
+# ONE tile policy for both fused kernels — the measured roofline version
+# lives in fused_score (see its docstring for the sweep numbers)
+_tile_b = _fused_tile_b
 
 
 @functools.partial(jax.jit, static_argnames=('spec', 'use_bf16'))

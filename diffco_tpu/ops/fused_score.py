@@ -77,13 +77,19 @@ def _round_up(x, m):
 
 
 def _tile_b(S: int) -> int:
-    """Lane-tile (query) size: 1024 measured best at S=512; the [S, TB]
-    fp32 distance block (+ bf16 copies) must fit VMEM (~16 MB/core)."""
-    if S <= 1024:
-        return 1024
-    if S <= 2048:
-        return 512
-    return 256
+    """Lane-tile (query) size — ONE policy for both fused kernels (this
+    module and ops/fk_score.py import it): the [S, TB] fp32 distance
+    block + bf16 copies (+ fk_score's [F_pad, TB] point/gradient blocks)
+    must fit VMEM (~16 MB/core), so keep S * TB around 2^20 elements
+    (4 MB fp32). The roofline tile sweeps (benchmarks/roofline.json)
+    measured 0.40-0.46 / 0.28-0.29 ms per step at TB=256/512 against
+    0.19-0.21 at TB=1024 and 0.21-0.22 at TB=2048 (S=512) — past 1024
+    the larger VMEM working set costs more than the amortization buys,
+    so cap at 1024. Floor to a multiple of 256: TB is the lane dimension
+    of every BlockSpec, and non-128-aligned tiles (e.g. 2^20//1152 = 910
+    for a 1152-support pad) would hit untested Mosaic lowerings."""
+    tb = (1 << 20) // max(S, 1)
+    return int(min(1024, max(256, (tb // 256) * 256)))
 
 
 # ---------------------------------------------------------------------------

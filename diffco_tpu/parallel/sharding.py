@@ -21,6 +21,7 @@ collective (psum) is the point.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -28,6 +29,33 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+
+# jax.jit caches per WRAPPER object — wrapping a fresh lambda (or even
+# the same named function) on every call misses the trace cache and
+# recompiles per invocation (~1 min over the axon tunnel, where the
+# persistent compile cache is unusable). Memoize wrappers per callee.
+_jit_wrappers = weakref.WeakKeyDictionary()
+_jit_wrappers_strong = {}
+
+
+def _cached_jit(fn: Callable):
+    try:
+        w = _jit_wrappers.get(fn)
+    except TypeError:           # not weakref-able (e.g. some builtins)
+        w = _jit_wrappers_strong.get(fn)
+        if w is None:
+            w = jax.jit(fn)
+            _jit_wrappers_strong[fn] = w
+        return w
+    if w is None:
+        w = jax.jit(fn)
+        _jit_wrappers[fn] = w
+    return w
+
+
+@jax.jit
+def _matmul_highest(k, g):
+    return jnp.matmul(k, g, precision='highest')
 
 
 def make_mesh(axis_names: Sequence[str] = ('dp', 'tp'),
@@ -80,7 +108,7 @@ def sharded_score_sweep(score_fn: Callable, q, mesh: Mesh,
     n_dev = mesh.shape[axis]
     qp, B = _pad_to_multiple(jnp.asarray(q), n_dev)
     qp = shard_batch(qp, mesh, axis)
-    out = jax.jit(score_fn)(qp)
+    out = _cached_jit(score_fn)(qp)
     return out[:B]
 
 
@@ -147,7 +175,7 @@ def sharded_gram(kernel_fn: Callable, X_transformed, mesh: Mesh,
     Xp, N = _pad_to_multiple(jnp.asarray(X_transformed), n_dev)
     Xs = shard_batch(Xp, mesh, axis)
     Xr = replicate(Xp, mesh)
-    K = jax.jit(lambda a, b: kernel_fn(a, b))(Xs, Xr)
+    K = _cached_jit(kernel_fn)(Xs, Xr)
     return K[:N, :N]
 
 
@@ -190,14 +218,13 @@ def distributed_fit(kernel_fn, X_transformed, y, mesh: Mesh,
     vr = replicate(valid, mesh)
 
     # row-sharded Gram: each device computes its row block vs replicated X
-    K = jax.jit(kernel_fn)(Xs, Xr)
+    K = _cached_jit(kernel_fn)(Xs, Xr)
 
     ig = ih = None
     if init_gains is not None:
         igp, _ = _pad_to_multiple(jnp.asarray(init_gains).reshape(-1), n_dev)
         ig = replicate(igp, mesh)
-        ih = jax.jit(lambda k, g: jnp.matmul(
-            k, g, precision='highest'))(K, ig)
+        ih = _matmul_highest(K, ig)
 
     gains, hyp, it = perceptron_train_loop(
         K, yr, beta, int(max_iteration),
@@ -205,9 +232,9 @@ def distributed_fit(kernel_fn, X_transformed, y, mesh: Mesh,
 
     # smooth-surrogate solve over the found supports (fit_poly, label target)
     rbf_fn = kernel_fn if rbf_kernel_fn is None else rbf_kernel_fn
-    Krbf = K if rbf_kernel_fn is None else jax.jit(rbf_fn)(Xs, Xr)
+    Krbf = K if rbf_kernel_fn is None else _cached_jit(rbf_fn)(Xs, Xr)
     support_mask = jnp.logical_and(gains != 0, vr)
-    nodes = jax.jit(masked_rbf_solve)(Krbf, yr, support_mask)
+    nodes = _cached_jit(masked_rbf_solve)(Krbf, yr, support_mask)
     return gains[:N], hyp[:N], nodes[:N], it
 
 
@@ -227,7 +254,9 @@ def distributed_trajopt(robot_fkine, score_fn, start_cfg, target_cfg,
 
     n_dev = mesh.shape[axis]
     if num_trials is None:
-        num_trials = max(n_dev, 8)
+        # smallest multiple of n_dev that is >= 8 (a bare max() is not
+        # divisible for 3/5/6/7-device meshes and trips the assert below)
+        num_trials = n_dev * max(1, -(-8 // n_dev))
     assert num_trials % n_dev == 0, (
         f'num_trials {num_trials} must divide over {n_dev} devices')
     trial_sharding = NamedSharding(mesh, P(axis))
@@ -247,6 +276,11 @@ def distributed_trajopt(robot_fkine, score_fn, start_cfg, target_cfg,
         float(max_speed), dense_sub=int(dense_sub),
         trial_sharding=trial_sharding)
     return solution, cost, success
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_func',))
+def _lazy_seed_hyp(x, sup, gains, kernel_func):
+    return jnp.matmul(kernel_func(x, sup), gains, precision='highest')
 
 
 def distributed_fit_lazy(kernel_func, X_transformed, y, mesh: Mesh,
@@ -281,11 +315,21 @@ def distributed_fit_lazy(kernel_func, X_transformed, y, mesh: Mesh,
     if init_gains is not None:
         igp, _ = _pad_to_multiple(jnp.asarray(init_gains).reshape(-1), n_dev)
         ig = shard_batch(igp, mesh, axis)
-        nz = jnp.nonzero(np.asarray(igp) != 0)[0]
+        # HOST-side assembly into a 128-BUCKETED static shape (CLAUDE.md:
+        # value-dependent-size gathers on device recompile per update as
+        # the support count drifts); padded slots carry zero gain, so
+        # they contribute nothing to the seeded hypothesis
+        ig_np = np.asarray(igp)
+        nz = np.nonzero(ig_np != 0)[0]
         if len(nz):
-            ih = jax.jit(lambda x, s, g: jnp.matmul(
-                kernel_func(x, s), g, precision='highest'))(
-                    Xs, Xp[nz], igp[nz])
+            Sb = max(128, int(-(-len(nz) // 128)) * 128)
+            sel = np.zeros(Sb, np.int64)
+            sel[:len(nz)] = nz
+            gsel = np.zeros(Sb, ig_np.dtype)
+            gsel[:len(nz)] = ig_np[nz]
+            sup_np = np.asarray(Xp)[sel]
+            ih = _lazy_seed_hyp(Xs, jnp.asarray(sup_np),
+                                jnp.asarray(gsel), kernel_func)
         else:
             ih = jnp.zeros_like(yp)
         ih = shard_batch(ih, mesh, axis)

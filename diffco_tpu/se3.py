@@ -29,6 +29,19 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v, keepdims=False):
+    """Differentiable ||v|| along the last axis: grad 0 (not NaN) at v=0.
+
+    jnp.linalg.norm's VJP is v/||v|| — at zero rotation that is 0/0, and
+    the double-where Taylor guards downstream cannot scrub it (0 * NaN =
+    NaN), so every exp/log map here would inject NaN into gradients at
+    identity (e.g. coincident trajectory waypoints through
+    se3_interpolate)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=keepdims)
+    zero = sq == 0.0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+
+
 def skew(v):
     """[..., 3] -> [..., 3, 3] skew-symmetric matrix (ref
     getSkewSymMatFromVec3)."""
@@ -73,9 +86,9 @@ def _sinc3(theta):
 def exp_so3(omega):
     """Axis-angle [..., 3] -> rotation matrix [..., 3, 3] (Rodrigues;
     ref expMapso3 :180-194)."""
-    theta = jnp.linalg.norm(omega, axis=-1)
+    theta = _safe_norm(omega)
     W = skew(omega)
-    W2 = jnp.matmul(W, W)
+    W2 = jnp.matmul(W, W, precision='highest')
     a = _sinc(theta)[..., None, None]
     b = _cosc(theta)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), W.shape)
@@ -142,7 +155,7 @@ def quaternion_to_matrix(q):
 def axis_angle_to_quaternion(omega):
     """[..., 3] -> [..., 4] (x, y, z, w); ref
     convertAxisAngleToQuaternion (:31-46)."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    theta = _safe_norm(omega, keepdims=True)
     half = theta / 2.0
     small = theta < 1e-6
     # sin(t/2)/t, stable at 0 (-> 1/2)
@@ -159,7 +172,7 @@ def quaternion_to_axis_angle(q):
     q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
     xyz = q[..., :3]
     w = q[..., 3]
-    s = jnp.linalg.norm(xyz, axis=-1)
+    s = _safe_norm(xyz)
     theta = 2.0 * jnp.arctan2(s, w)
     small = s < 1e-6
     scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5),
@@ -178,15 +191,15 @@ def exp_se3(xi):
     """Twist [..., 6] (omega, v) -> homogeneous transform [..., 4, 4]
     (ref expMapse3 :221-238)."""
     omega, v = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(omega, axis=-1)
+    theta = _safe_norm(omega)
     W = skew(omega)
-    W2 = jnp.matmul(W, W)
+    W2 = jnp.matmul(W, W, precision='highest')
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = eye + _sinc(theta)[..., None, None] * W \
         + _cosc(theta)[..., None, None] * W2
     V = eye + _cosc(theta)[..., None, None] * W \
         + _sinc3(theta)[..., None, None] * W2
-    p = jnp.matmul(V, v[..., None])[..., 0]
+    p = jnp.matmul(V, v[..., None], precision='highest')[..., 0]
     top = jnp.concatenate([R, p[..., None]], axis=-1)
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
@@ -199,9 +212,9 @@ def log_se3(T):
     R = T[..., :3, :3]
     p = T[..., :3, 3]
     omega = log_so3(R)
-    theta = jnp.linalg.norm(omega, axis=-1)
+    theta = _safe_norm(omega)
     W = skew(omega)
-    W2 = jnp.matmul(W, W)
+    W2 = jnp.matmul(W, W, precision='highest')
     # V^{-1} = I - W/2 + c * W^2,
     # c = (1 - theta sin / (2 (1 - cos))) / theta^2, -> 1/12 at 0
     small = theta < 1e-4
@@ -211,7 +224,7 @@ def log_se3(T):
                    / (2.0 * (1.0 - jnp.cos(safe)))) / (safe * safe))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + c[..., None, None] * W2
-    v = jnp.matmul(Vinv, p[..., None])[..., 0]
+    v = jnp.matmul(Vinv, p[..., None], precision='highest')[..., 0]
     return jnp.concatenate([omega, v], axis=-1)
 
 
@@ -220,7 +233,7 @@ def se3_inverse(T):
     R = T[..., :3, :3]
     p = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    pinv = -jnp.matmul(Rt, p[..., None])
+    pinv = -jnp.matmul(Rt, p[..., None], precision='highest')
     top = jnp.concatenate([Rt, pinv], axis=-1)
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
@@ -232,17 +245,22 @@ def se3_interpolate(T0, T1, t):
     t may be scalar or [..., K]; used for SE(3) path densification in
     trajectory optimization (replaces per-component euler interpolation).
     """
-    delta = log_se3(jnp.matmul(se3_inverse(T0), T1))
-    t = jnp.asarray(t)
-    xi = t[..., None] * delta
-    return jnp.matmul(T0, exp_se3(xi))
+    delta = log_se3(jnp.matmul(se3_inverse(T0), T1, precision='highest'))
+    t = jnp.asarray(t, delta.dtype)
+    if t.ndim == 0:
+        return jnp.matmul(T0, exp_se3(t * delta), precision='highest')
+    # t [K] (or [..., K]) fans out to a NEW axis before the twist dim —
+    # t[..., None] * delta would pair t[i] with waypoint i instead
+    xi = t[..., :, None] * delta[..., None, :]        # [..., K, 6]
+    return jnp.matmul(T0[..., None, :, :], exp_se3(xi),
+                      precision='highest')
 
 
 def integrate_axis_angle(axis_angle, omega, dt):
     """Integrate a body angular velocity (ref integrateAxisAngle :15-20)."""
     R_curr = exp_so3(axis_angle)
     R_delta = exp_so3(omega * dt)
-    return log_so3(jnp.matmul(R_delta, R_curr))
+    return log_so3(jnp.matmul(R_delta, R_curr, precision='highest'))
 
 
 def angular_error(source_axis_angle, target_axis_angle):
@@ -250,4 +268,5 @@ def angular_error(source_axis_angle, target_axis_angle):
     (ref computeAngularError :23-28)."""
     R_s = exp_so3(source_axis_angle)
     R_t = exp_so3(target_axis_angle)
-    return log_so3(jnp.matmul(R_t, jnp.swapaxes(R_s, -1, -2)))
+    return log_so3(jnp.matmul(R_t, jnp.swapaxes(R_s, -1, -2),
+                              precision='highest'))
