@@ -204,7 +204,10 @@ class RBFDiffCo(CollisionChecker):
             # split on the HOST: the permutation/nonzero/gather sizes all
             # depend on the support count and would recompile per update
             rng = self._next_rng()
-            num_verify = int(verify_ratio * num_samples)
+            # at least one held-out row: tiny num_samples would otherwise
+            # produce an EMPTY verify set and crash the safety-bias
+            # zero-size min() reduction
+            num_verify = max(1, int(verify_ratio * num_samples))
             if update and exist_mask is not None:
                 # existing supports must all stay in the training split —
                 # the warm start seeds their gains positionally. Draw the
@@ -291,6 +294,10 @@ class RBFDiffCo(CollisionChecker):
             # at ~2/3 of the 20 s steady-state update latency.
             rng = self._next_rng()
             nv = self.perceptron.num_valid
+            if nv == 0:
+                raise RuntimeError(
+                    'update() needs a trained checker (no supports yet) — '
+                    'call fit() first')
             supports = np.asarray(self.perceptron.support_points[:nv])
             dof = supports.shape[-1]
             if n_exploit > nv:
@@ -469,6 +476,10 @@ class RBFDiffCo(CollisionChecker):
 
     def _calculate_safety_bias(self, q_verify):
         """min(|min score|, |max score|) / 3 (ref :497-503)."""
+        if q_verify.shape[0] == 0:
+            # an empty held-out split (all rows were existing supports)
+            # must not crash the zero-size min() — bias off fresh samples
+            q_verify = self.robot.rand_configs(100, self._next_key())
         scores = self._sweep_scores(q_verify)
         min_polar = jnp.minimum(jnp.abs(scores.min()), jnp.abs(scores.max()))
         return float(min_polar / 3)

@@ -160,7 +160,10 @@ class Obstacles2D:
 
     def __init__(self, circles=None, rects=None, circle_classes=None,
                  rect_classes=None):
-        # circles: [Nc, 3] (x, y, r); rects: [Nr, 5] (x, y, w, h, angle)
+        # circles: [Nc, 3] (x, y, r); rects: [Nr, 5] rows of
+        # (x, y, HALF-width, HALF-height, angle) — from_obstacle_list
+        # takes full (w, h) tuples and converts; direct construction must
+        # pass half-extents (signed_dist feeds r[2:4] straight in)
         self.circles = jnp.asarray(
             circles if circles is not None and len(circles) else
             np.zeros((0, 3)), dtype=jnp.float32)
@@ -234,6 +237,8 @@ class Obstacles2D:
             d = jax.vmap(lambda r: -point_rect_sd(pts, r[:2], r[2:4], r[4]),
                          out_axes=-1)(self.rects)
             out.append(d)
+        if not out:    # obstacle-free set: [..., 0] like the segment twin
+            return jnp.zeros(jnp.shape(pts)[:-1] + (0,), jnp.float32)
         return jnp.concatenate(out, axis=-1)
 
     @property
@@ -381,8 +386,10 @@ def rect_rect_signed_dist(c1, h1, a1, c2, h2, a2):
     axes = jnp.concatenate([axes_of(a1), axes_of(a2)], axis=-2)  # [4, 2]
 
     def mtv_along(axis):
-        p1 = corners1 @ axis
-        p2 = corners2 @ axis
+        # distance-sensitive projections: full precision (CLAUDE.md rule;
+        # the backend's default bf16 semantics flip near-contact signs)
+        p1 = jnp.matmul(corners1, axis, precision='highest')
+        p2 = jnp.matmul(corners2, axis, precision='highest')
         return jnp.minimum(p1.max(-1) - p2.min(-1), p2.max(-1) - p1.min(-1))
 
     mtvs = jax.vmap(mtv_along)(axes)
@@ -414,7 +421,7 @@ def rigid_body_signed_dist(body_parts, obstacles: 'Obstacles2D', q):
         xy, th = cfg[:2], cfg[2]
         c, s = jnp.cos(th), jnp.sin(th)
         R = jnp.asarray([[c, -s], [s, c]])
-        centers = parts_c @ R.T + xy
+        centers = jnp.matmul(parts_c, R.T, precision='highest') + xy
         out = []
         if obstacles.circles.shape[0]:
             def vs_circle(circ):

@@ -51,8 +51,8 @@ def generate_two_link_urdf(path: str = None) -> str:
     limit = 2.9670597283903604
     parts = ['<?xml version="1.0"?>', '<robot name="2link_robot">',
              '<link name="base"/>']
-    for i, (parent, z) in enumerate((('base', 0.15), ('arm1', 0.0)), 1):
-        xyz_origin = '0 0 0.15' if i == 1 else '1 0 0'
+    for i, (parent, xyz_origin) in enumerate(
+            (('base', '0 0 0.15'), ('arm1', '1 0 0')), 1):
         parts.append(
             f'<link name="arm{i}">\n'
             f'  <collision>\n'
@@ -115,7 +115,10 @@ def generate_panda_like_urdf(path: str = None,
                f'    <origin xyz="0 0 0" rpy="0 0 0"/>\n'
                f'    <geometry><sphere radius="0.06"/></geometry>\n'
                f'  </collision>\n')
-        if abs(d[i]) > 0.15 and i < 6:
+        # includes i == 6: the 0.214 m link7-to-hand flange stretch needs
+        # its cylinder too (endpoint spheres alone left a ~0.1 m
+        # uncovered gap in the wrist)
+        if abs(d[i]) > 0.15:
             col += (f'  <collision>\n'
                     f'    <origin xyz="0 0 {d[i] / 2}" rpy="0 0 0"/>\n'
                     f'    <geometry><cylinder length="{abs(d[i])}" '

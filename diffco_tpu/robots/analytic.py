@@ -64,10 +64,15 @@ class RevolutePlanarRobot(Model):
                  limits=None):
         if limits is None:
             limits = [-PI, PI]
-        if dof is None:
-            dof = len(link_length)
         if isinstance(link_length, (int, float)):
+            # scalar convenience needs an explicit dof (checked BEFORE the
+            # len() probe, which would TypeError on a float)
+            if dof is None:
+                raise ValueError(
+                    'dof is required when link_length is a scalar')
             link_length = [link_length] * dof
+        elif dof is None:
+            dof = len(link_length)
         if len(limits) == 2 and isinstance(limits[0], (int, float)):
             limits = [limits] * dof
         assert len(limits) == dof and len(link_length) == dof
@@ -180,6 +185,22 @@ class DHParameters:
         self.c_alpha = jnp.cos(self.alpha)
 
 
+def _dh_consts_and_specs(dhparams, fk_mask):
+    """Static per-joint DH constants + masked point specs — shared by
+    DHChainRobot and the dual-arm assembly (one source of truth for the
+    spec format)."""
+    import numpy as _np
+    consts = [(float(a), float(d), float(sa), float(ca), float(th))
+              for a, d, sa, ca, th in zip(
+                  _np.asarray(dhparams.a), _np.asarray(dhparams.d),
+                  _np.asarray(dhparams.s_alpha),
+                  _np.asarray(dhparams.c_alpha),
+                  _np.asarray(dhparams.theta))]
+    specs = tuple((i + 1, (0.0, 0.0, 0.0))
+                  for i, masked in enumerate(fk_mask) if masked)
+    return consts, specs
+
+
 class DHChainRobot(Model):
     """Serial arm from standard DH parameters with an fk_mask selecting
     which cumulative frames become control points (ref: model.py:225-241).
@@ -196,15 +217,8 @@ class DHChainRobot(Model):
         self.fk_mask = list(fk_mask)
         self.base = None if base is None else np.asarray(base)  # [4, 4]
         # static per-joint DH constants for the SoA fast path
-        self._dh_const = [
-            (float(a), float(d), float(sa), float(ca), float(th))
-            for a, d, sa, ca, th in zip(
-                np.asarray(dhparams.a), np.asarray(dhparams.d),
-                np.asarray(dhparams.s_alpha), np.asarray(dhparams.c_alpha),
-                np.asarray(dhparams.theta))]
-        self._point_specs = tuple(
-            (i + 1, (0.0, 0.0, 0.0))
-            for i, masked in enumerate(self.fk_mask) if masked)
+        self._dh_const, self._point_specs = _dh_consts_and_specs(
+            dhparams, self.fk_mask)
         self._fkine_flat = make_dh_fkine(
             self._dh_const, self._point_specs, base=self._base_soa())
 
@@ -328,13 +342,7 @@ class BaxterDualArmFK(Model):
         right[:3, :3] = np.asarray(_rotz(jnp.asarray(-3 * PI / 4)))
         right[:, 3] = [-offsets[0], -offsets[1], offsets[2], 1]
         self.arm_bases = jnp.asarray(np.stack([left, right]))  # [2, 4, 4]
-        consts = [(float(a), float(d), float(sa), float(ca), float(th))
-                  for a, d, sa, ca, th in zip(
-                      np.asarray(self.dh.a), np.asarray(self.dh.d),
-                      np.asarray(self.dh.s_alpha), np.asarray(self.dh.c_alpha),
-                      np.asarray(self.dh.theta))]
-        specs = tuple((i + 1, (0.0, 0.0, 0.0))
-                      for i, m in enumerate(self.fk_mask) if m)
+        consts, specs = _dh_consts_and_specs(self.dh, self.fk_mask)
         bases = np.asarray(self.arm_bases)
         self._arm_fkine = [
             make_dh_fkine(consts, specs,
@@ -441,6 +449,15 @@ class PointRobot1D(Model):
     def __init__(self, limits):
         self.limits = jnp.asarray(limits, dtype=jnp.float32)  # [dof+1, 2]
         self.dof = 1
+
+    def rand_configs(self, num_cfgs: int, key=None) -> jnp.ndarray:
+        """Normalized space-time samples in [0, 1]^2 — this robot's
+        configurations are (x, t) pairs in NORMALIZED coordinates. The
+        inherited sampler would broadcast a [N, 1] draw against the
+        [2, 2] raw limits into out-of-domain [N, 2] workspace values."""
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        return jax.random.uniform(key, (num_cfgs, self.limits.shape[0]))
 
     def fkine(self, q):
         q = jnp.reshape(q, (-1, self.dof))
