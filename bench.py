@@ -12,6 +12,7 @@ torch DH-chain FK + cdist kernel + autograd backward), measured in-process.
 North star (BASELINE.json): >= 100x.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -118,7 +119,11 @@ def _torch_cpu_baseline(batch=2048, n_supports=512, iters=20):
     DH-chain Panda FK (model.py:430-453 math) + polyharmonic kernel
     (kernel.py:73-79) + autograd backward."""
     import torch
-    torch.set_num_threads(max(1, torch.get_num_threads()))
+    # pin to all physical cores explicitly (reading the current value
+    # back was a no-op): the baseline must not be hobbled by an inherited
+    # low thread cap, and a full-width baseline can only LOWER
+    # vs_baseline — conservative in our favor
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
     pi = np.pi
     L = torch.tensor([0.3330, 0.3160, 0.0825, 0.3840, 0.0880, 0.2140])
     a = torch.tensor([0, 0, L[2], -L[2], 0, L[4], 0])

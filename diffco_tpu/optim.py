@@ -652,7 +652,15 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
 def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
                                 options=None):
     """trust-constr without gradients, for binary checkers
-    (ref optim.py:519-629)."""
+    (ref optim.py:519-629).
+
+    NOTE: like the reference, this method thresholds at exactly 0 and
+    IGNORES ``options['safety_margin']`` — a margin has no meaning for
+    the binary {0, 1} checkers this method is designed around (shifting
+    a binary score by -0.3 would mark every free point as violating).
+    When comparing against margin-enforcing methods (adam/al/
+    trustconstr), remember their valid rates are judged with clearance
+    while this one accepts zero-clearance paths."""
     from scipy.optimize import minimize, NonlinearConstraint
     o = _default_options(options)
     n_waypoints = int(o['N_WAYPOINTS'])

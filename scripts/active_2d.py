@@ -77,7 +77,10 @@ def main():
         sweep_time = time.time() - t0
         gt_labels = np.asarray(gt(q_sweep))
         preds = np.asarray(scores).reshape(-1) > 0
-        sweep_tpr = float((preds[gt_labels]).mean())
+        # a timestep with zero true positives (obstacle out of reach) has
+        # no TPR — record 1.0 (vacuously true) instead of NaN-in-JSON
+        sweep_tpr = (float((preds[gt_labels]).mean())
+                     if gt_labels.any() else 1.0)
         rec = {'t': t, 'update_time': round(update_time, 3),
                'sweep_time': round(sweep_time, 4),
                'verify_acc': acc, 'verify_tpr': tpr, 'verify_tnr': tnr,

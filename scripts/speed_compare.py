@@ -59,21 +59,11 @@ def validate(robot, obs, solution, num_sub=8):
         planar_robot_collision(robot, obs, dense)).any())
 
 
-def repair(robot, obs, solution, options):
-    """Repair a failed path with ground-truth-driven optimization
-    (ref :477-497)."""
-    def gt_dist(q):
-        return planar_robot_signed_dist(robot, obs, q).max(axis=-1)
-
-    opts = dict(options)
-    opts['init_solution'] = jnp.asarray(solution, jnp.float32)
-    opts['NUM_RE_TRIALS'] = 1
-    return optim.adam_traj_optimize(
-        robot, gt_dist, jnp.asarray(solution[0]),
-        jnp.asarray(solution[-1]), opts)
-
-
-def run_method(method, robot, obs, checker, start, target, options):
+def make_score_fns(robot, obs, checker):
+    """Build the per-env score closures ONCE: the optimizer cores jit
+    with dist_est as a static argument, so a fresh closure per problem
+    would recompile the whole trajopt program every problem (~1 min per
+    compile on TPU) and fold that compile into every reported time."""
     def proxy_dist(q):
         return checker.poly_score(q).reshape(-1)
 
@@ -82,6 +72,29 @@ def run_method(method, robot, obs, checker, start, target, options):
 
     def gt_dist(q):
         return planar_robot_signed_dist(robot, obs, q).max(axis=-1)
+
+    return {'proxy_dist': proxy_dist, 'proxy_binary': proxy_binary,
+            'gt_dist': gt_dist}
+
+
+def repair(robot, fns, solution, options):
+    """Repair a failed path with ground-truth-driven optimization
+    (ref :477-497). Repair must sample the collision term at least as
+    densely as validate() judges it (8 per segment) — a sparser repair
+    can clear its own samples yet still fail validation."""
+    opts = dict(options)
+    opts['init_solution'] = jnp.asarray(solution, jnp.float32)
+    opts['NUM_RE_TRIALS'] = 1
+    opts['dense_sub'] = max(8, int(opts.get('dense_sub', 3)))
+    return optim.adam_traj_optimize(
+        robot, fns['gt_dist'], jnp.asarray(solution[0]),
+        jnp.asarray(solution[-1]), opts)
+
+
+def run_method(method, robot, checker, fns, start, target, options):
+    proxy_dist = fns['proxy_dist']
+    proxy_binary = fns['proxy_binary']
+    gt_dist = fns['gt_dist']
 
     if method == 'adamdiffco':
         return optim.adam_traj_optimize(robot, proxy_dist, start, target,
@@ -203,13 +216,25 @@ def main():
         robot, obs, checker = build_world(
             env_name, dof, link_length, args.num_train, args.seed,
             fit_target=args.fit_target)
+        fns = make_score_fns(robot, obs, checker)
         pairs = load_test_configs(args.test_configs_dir, env_name, dof,
                                   args.num_problems)
         if pairs is None:
-            key = jax.random.PRNGKey(args.seed)
+            # a DISTINCT key: PRNGKey(seed) is the dataset key, and
+            # threefry's counter structure makes rand_configs(512, key)
+            # bit-identical to the first 512 TRAINING configs — every
+            # fallback problem would start at an interpolation-exact
+            # training point
+            key = jax.random.PRNGKey(args.seed + 7)
             q = robot.rand_configs(512, key)
             free = ~np.asarray(planar_robot_collision(robot, obs, q))
             idx = np.where(free)[0]
+            if len(idx) < 2 * args.num_problems:
+                raise SystemExit(
+                    f'{env_spec}: only {len(idx)}/512 sampled configs are '
+                    f'free — too few for {args.num_problems} distinct '
+                    f'problem pairs; supply --test-configs-dir (narrow '
+                    f'envs need certified pairs anyway)')
             pairs = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
                      for i in range(args.num_problems)]
         # dense_sub densifies the collision term between waypoints (the
@@ -228,13 +253,13 @@ def main():
                 continue
             recs = []
             for pi, (s, t) in enumerate(pairs):
-                rec = run_method(method, robot, obs, checker, s, t,
+                rec = run_method(method, robot, checker, fns, s, t,
                                  {**options, 'seed': args.seed + pi})
                 rec['valid'] = validate(robot, obs,
                                         np.asarray(rec['solution']))
                 if not rec['valid']:
                     t0 = time.time()
-                    fixed = repair(robot, obs, np.asarray(rec['solution']),
+                    fixed = repair(robot, fns, np.asarray(rec['solution']),
                                    options)
                     rec['repair_time'] = time.time() - t0
                     rec['repaired_valid'] = validate(

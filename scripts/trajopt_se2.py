@@ -49,7 +49,10 @@ def main():
         ('rect', (-4, 4), (2, 4), 1),
     ])
 
+    @jax.jit
     def gt_signed(q):
+        # jitted: eager GT labeling pays one tunnel dispatch PER OP
+        # (CLAUDE.md jit-boundary rule, 0.7 s vs 0.07 s per 1024 configs)
         return jnp.max(rigid_body_signed_dist(parts, obs, q), axis=-1)
 
     key = jax.random.PRNGKey(args.seed)

@@ -82,8 +82,11 @@ def main():
                  'transform': T([-1.5, 1.5, 1.0])},
     })
 
+    @jax.jit
     def gt_signed(q):
-        """q [B, 6] -> max signed distance over objects (>0 collision)."""
+        """q [B, 6] -> max signed distance over objects (>0 collision).
+        Jitted: eager GT labeling pays a tunnel dispatch per op
+        (CLAUDE.md jit-boundary rule)."""
         q = jnp.atleast_2d(q)
         R = euler2mat(q[:, 3:])                          # [B, 3, 3]
         centers = jnp.einsum('bij,pj->bpi', R, body_c,
