@@ -260,6 +260,13 @@ the host gather. One v5e chip solves + validates + repairs 64 Baxter
 problems in under 10 s (~150 ms per problem).""")
 
 code("""
+# the obstacle MOVED in section 6 — re-check the endpoints against the
+# updated world first (endpoints are excluded from the collision
+# penalty, so an in-collision endpoint would silently yield an
+# unexecutable 'success')
+assert not bool(robot.collision(jnp.stack([start, target]),
+                                other=env).any()), \\
+    'endpoints invalid after obstacle motion; resample them'
 starts = jnp.stack([jnp.asarray(start), jnp.asarray(target)])
 targets = jnp.stack([jnp.asarray(target), jnp.asarray(start)])
 recs = optim.adam_traj_optimize_batch(

@@ -42,7 +42,11 @@ def main():
         num_init_points=args.num_init_points, dof=args.dof,
         link_length=args.link_length, link_width=args.link_width,
         obstacles=obstacles, label_type=args.label_type,
-        env_id=args.env, seed=args.seed, save_dir=args.output_dir)
+        # random layouts get a seed/count-qualified id so two runs
+        # cannot silently overwrite each other's datasets
+        env_id=(f'random_s{args.seed}_o{args.num_obstacles}'
+                if args.env == 'random' else args.env),
+        seed=args.seed, save_dir=args.output_dir)
     n_col = int((dataset['label'].reshape(len(dataset['data']), -1)
                  .max(1) > 0).sum())
     print(f"env={args.env} dof={args.dof}: {len(dataset['data'])} configs, "

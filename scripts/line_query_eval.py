@@ -58,6 +58,11 @@ def main():
     n_total = args.num_train + args.num_test
     starts = robot.rand_configs(n_total, k1)
     deltas = jax.random.normal(k2, starts.shape) * (args.max_motion / 2)
+    # --max-motion is a BOUND: rescale over-length deltas onto the cap
+    # (per-dim gaussians routinely exceed it otherwise)
+    norms = jnp.linalg.norm(deltas, axis=-1, keepdims=True)
+    deltas = deltas * jnp.minimum(1.0, args.max_motion
+                                  / jnp.maximum(norms, 1e-9))
     lims = robot.limits
     ends = jnp.clip(starts + deltas, lims[:, 0], lims[:, 1])
     labels = motion_labels(robot, obs, starts, ends) * 2.0 - 1.0
@@ -72,7 +77,7 @@ def main():
     clf = DiffCo(kernel_func=kern)
     t0 = time.time()
     clf.train(X[:args.num_train], labels[:args.num_train],
-              max_iteration=args.num_train)
+              max_iteration=3 * args.num_train)
     clf.fit_poly(kernels.Polyharmonic(1, 1), target='label')
     train_time = time.time() - t0
 

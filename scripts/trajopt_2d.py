@@ -70,7 +70,10 @@ def main():
         return jnp.max(s - margins, axis=-1)
 
     obs = Obstacles2D.from_obstacle_list(obstacles)
-    key = jax.random.PRNGKey(args.seed)
+    # distinct key from the dataset's PRNGKey(seed): threefry's counter
+    # structure makes same-key draws a row-prefix of the training set —
+    # problems would start at interpolation-exact training points
+    key = jax.random.PRNGKey(args.seed + 7)
     q = robot.rand_configs(512, key)
     free = ~np.asarray(planar_robot_collision(robot, obs, q))
     idx = np.where(free)[0]
@@ -108,7 +111,11 @@ def main():
             rng = np.random.RandomState(args.seed)
             cur = np.asarray(start_cfg, np.float64)
             walk = [cur]
-            while len(walk) < 60:
+            tries = 0
+            # bounded: a free pocket smaller than the step scale would
+            # otherwise reject every candidate forever
+            while len(walk) < 60 and tries < 2000:
+                tries += 1
                 step = rng.randn(args.dof) * 0.25
                 nxt = np.clip(cur + step, np.asarray(robot.limits)[:, 0],
                               np.asarray(robot.limits)[:, 1])
@@ -136,9 +143,7 @@ def main():
               'givengrad': optim.givengrad_traj_optimize,
               'gradient_free': optim.gradient_free_traj_optimize}[
                   args.optimizer]
-    checker_arg = dist_est if args.optimizer != 'gradient_free' else (
-        lambda qq: dist_est(qq))
-    rec = opt_fn(robot, checker_arg, start_cfg, target_cfg, options)
+    rec = opt_fn(robot, dist_est, start_cfg, target_cfg, options)
     sol = np.asarray(rec['solution'])
     dense = utils.dense_path(jnp.asarray(sol, jnp.float32), 8)
     gt_free = not bool(np.asarray(

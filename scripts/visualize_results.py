@@ -59,7 +59,7 @@ def plot_landscape(env_name: str, out: str, dof: int = 2,
     cfgs, labels, dists, _, robot = routines.unpack_dataset(dataset)
     obs = Obstacles2D.from_obstacle_list(obstacles)
     clf = DiffCo(kernel_func=kernels.RQKernel(10.0))
-    clf.train(cfgs, labels[:, 0], max_iteration=num_train)
+    clf.train(cfgs, labels[:, 0], max_iteration=3 * num_train)
     clf.fit_poly(kernels.Polyharmonic(1, 1), target='label')
 
     n = 200
