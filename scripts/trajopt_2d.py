@@ -74,9 +74,15 @@ def main():
     # structure makes same-key draws a row-prefix of the training set —
     # problems would start at interpolation-exact training points
     key = jax.random.PRNGKey(args.seed + 7)
-    q = robot.rand_configs(512, key)
+    # narrow envs can have a tiny free fraction: sample enough candidates
+    # and fail with the cause rather than an IndexError on an empty set
+    q = robot.rand_configs(8192, key)
     free = ~np.asarray(planar_robot_collision(robot, obs, q))
     idx = np.where(free)[0]
+    if len(idx) < 2:
+        raise SystemExit(
+            f'only {len(idx)}/8192 sampled configs are collision-free in '
+            f'{args.env} — cannot build a problem pair')
     start_cfg, target_cfg = q[idx[0]], q[idx[-1]]
     pair_candidates = [(q[idx[2 * i]], q[idx[-1 - 2 * i]])
                        for i in range(min(5, len(idx) // 2))]
@@ -168,6 +174,21 @@ def main():
             rec = rec2
             rec['repaired'] = True
             sol, gt_free = sol2, True
+    if not gt_free and options.get('init_solution') is not None:
+        # last resort: the RRT seed is a planner-validated free path —
+        # return it (unsmoothed) rather than a colliding optimum
+        init_sol = np.asarray(options['init_solution'])
+        dense_i = utils.dense_path(jnp.asarray(init_sol, jnp.float32), 8)
+        if not bool(np.asarray(
+                planar_robot_collision(robot, obs, dense_i)[1:-1]).any()):
+            sol, gt_free = init_sol, True
+            cp = np.asarray(robot.fkine(jnp.asarray(init_sol, jnp.float32)))
+            rec = {**rec, 'solution': init_sol.tolist(),
+                   # same objective as _loss_terms: workspace path length^2
+                   'cost': float(((cp[1:] - cp[:-1]) ** 2).sum()),
+                   'success': False, 'fallback': 'rrt_init'}
+    rec['gt_valid'] = gt_free
+    rec.setdefault('repaired', False)
     print(f"optimizer={args.optimizer} success={rec['success']} "
           f"cost={rec['cost']:.3f} time={rec['time']:.3f}s "
           f"cnt_check={rec['cnt_check']} GT-valid={gt_free}")
