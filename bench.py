@@ -13,9 +13,19 @@ North star (BASELINE.json): >= 100x.
 """
 import json
 import os
+import subprocess
+import sys
+import threading
 import time
 
 import numpy as np
+
+# If the remote TPU tunnel is down, the first device op hangs forever —
+# without a bound, bench would print NOTHING. After this many seconds
+# with no TPU result, re-measure on CPU in a fresh subprocess (a hung
+# axon claim does not block CPU-forced interpreters) so the driver
+# always gets its one JSON line, honestly labeled with the backend.
+TUNNEL_DEADLINE_S = float(os.environ.get('BENCH_TUNNEL_DEADLINE', 900.0))
 
 
 def _difference_tput(batch, n_short, n_long, t_s_min, t_l_min):
@@ -185,16 +195,56 @@ def _torch_cpu_baseline(batch=2048, n_supports=512, iters=20):
     return batch / dt
 
 
-def main():
-    jax_tput, backend = _jax_throughput()
-    torch_tput = _torch_cpu_baseline()
+def _emit(jax_tput, backend, torch_tput):
     print(json.dumps({
         'metric': f'7dof_score_grad_evals_per_sec_{backend}',
         'value': round(jax_tput, 1),
         'unit': 'configs/s',
         'vs_baseline': round(jax_tput / torch_tput, 2),
-    }))
+    }), flush=True)
+
+
+def _cpu_fallback_child():
+    """Entry for the watchdog subprocess: force CPU before any backend
+    init (env vars alone are overridden by the ambient sitecustomize),
+    measure a reduced-size loop, print the full JSON line."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    tput, backend = _jax_throughput(batch=8192, n_short=10, n_long=50,
+                                    reps=2)
+    _emit(tput, backend, _torch_cpu_baseline())
+
+
+def main():
+    result = {}
+
+    def tpu_work():
+        result['tput'], result['backend'] = _jax_throughput()
+
+    th = threading.Thread(target=tpu_work, daemon=True)
+    th.start()
+    th.join(timeout=TUNNEL_DEADLINE_S)
+    if 'tput' in result:
+        _emit(result['tput'], result['backend'], _torch_cpu_baseline())
+        return
+    # TPU hung past the deadline: a fresh CPU-forced interpreter still
+    # works — relay its JSON line, then hard-exit past the stuck thread
+    print(f'tunnel unresponsive after {TUNNEL_DEADLINE_S:.0f}s; '
+          f'falling back to CPU measurement', file=sys.stderr)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--cpu-fallback'],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith('{')][-1] if out.stdout.strip() else None
+    if line is None:
+        raise RuntimeError(f'cpu fallback produced no JSON: {out.stderr}')
+    print(line, flush=True)
+    os._exit(0)
 
 
 if __name__ == '__main__':
+    if '--cpu-fallback' in sys.argv:
+        _cpu_fallback_child()
+        os._exit(0)
     main()
