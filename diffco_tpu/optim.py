@@ -115,8 +115,16 @@ def _adam_traj_core(start_cfg, target_cfg, limits, init_first, key,
         key, (num_trials, n_waypoints, dof), dtype=start_cfg.dtype)
     rand = rand * (limits[:, 1] - limits[:, 0]) + limits[:, 0]
     straight = jnp.linspace(start_cfg, target_cfg, n_waypoints)
-    init_first = jnp.where(jnp.isnan(init_first).any(), straight, init_first)
+    had_init = ~jnp.isnan(init_first).any()
+    init_first = jnp.where(had_init, init_first, straight)
     inits = rand.at[0].set(init_first)
+    if num_trials > 1:
+        # an explicit init (RRT seed, repair of a failed path) must not
+        # COST the straight-line trial: random restarts are jagged
+        # 20-waypoint noise with a far rougher loss landscape, and losing
+        # the straight seed measurably loses problems the plain optimizer
+        # solves (speed_compare 2class_1 repair study, round 3)
+        inits = inits.at[1].set(jnp.where(had_init, straight, inits[1]))
     inits = inits.at[:, 0].set(start_cfg)
     inits = inits.at[:, -1].set(target_cfg)
     if trial_sharding is not None:

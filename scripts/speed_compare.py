@@ -81,10 +81,19 @@ def repair(robot, fns, solution, options):
     """Repair a failed path with ground-truth-driven optimization
     (ref :477-497). Repair must sample the collision term at least as
     densely as validate() judges it (8 per segment) — a sparser repair
-    can clear its own samples yet still fail validation."""
+    can clear its own samples yet still fail validation. Five trials,
+    not one: trial 0 starts from the failed path, but a diverged scipy
+    solution (givengrad at 10-20x the valid-path cost) is a WORSE init
+    than random — the restart trials run in the same vmapped program and
+    the core prefers any trial that reaches validity. Repair targets a
+    small GT clearance (-0.05, as the 2d pipeline's repair does), not
+    the method's proxy margin: validation is binary collision-freedom,
+    and demanding the full -0.3 clearance made repair fail corridors the
+    gtdist method itself clears."""
     opts = dict(options)
     opts['init_solution'] = jnp.asarray(solution, jnp.float32)
-    opts['NUM_RE_TRIALS'] = 1
+    opts['NUM_RE_TRIALS'] = 5
+    opts['safety_margin'] = -0.05
     opts['dense_sub'] = max(8, int(opts.get('dense_sub', 3)))
     return optim.adam_traj_optimize(
         robot, fns['gt_dist'], jnp.asarray(solution[0]),
