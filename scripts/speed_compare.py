@@ -100,6 +100,47 @@ def repair(robot, fns, solution, options):
         jnp.asarray(solution[-1]), opts)
 
 
+def plan_gt_path(robot, obs, start, target, seed, max_iters=30000):
+    """RRT-Connect on the EXACT geometry for the repair escalation. One
+    budget-exhausted retry with a fresh seed before giving up: RRT-Connect
+    is probabilistically complete but narrow passages (7d_narrow's 300-box
+    wall) can exhaust a single run's budget. Returns [N, dof] or None."""
+    from diffco_tpu.planning import MotionPlanner
+
+    for attempt in range(2):
+        planner = MotionPlanner(
+            robot, lambda q: planar_robot_collision(robot, obs, q),
+            step_size=0.5, seed=int(seed) + 7919 * attempt)
+        path = planner.plan(np.asarray(start, np.float64),
+                            np.asarray(target, np.float64),
+                            max_iters=max_iters)
+        if path is not None:
+            return path
+    return None
+
+
+def repair_rrt(robot, obs, fns, solution, path, options):
+    """Escalated repair for paths the GT-Adam repair cannot fix: smooth a
+    ground-truth RRT-Connect path with GT-Adam. The Adam repair's
+    straight-line and random restarts stay in the start's free component —
+    in narrow envs the failure is topological, not a local minimum, and
+    only a planner can cross it. Mirrors the reference's practice of
+    feeding planner output into the optimizers (OMPL inits in
+    manual_trajopt_se3.py:585-700, record_moveit_path.py). The plan is
+    computed once per (env, problem) and shared across every method's
+    repair (plan_gt_path); this function only smooths it."""
+    opts = dict(options)
+    opts['init_solution'] = jnp.asarray(path, jnp.float32)
+    opts['NUM_RE_TRIALS'] = 2  # RRT path + the straight line; no randoms
+    opts['safety_margin'] = -0.05
+    opts['dense_sub'] = max(8, int(opts.get('dense_sub', 3)))
+    rec = optim.adam_traj_optimize(
+        robot, fns['gt_dist'], jnp.asarray(solution[0]),
+        jnp.asarray(solution[-1]), opts)
+    rec['rrt_path'] = path.tolist()
+    return rec
+
+
 def run_method(method, robot, checker, fns, start, target, options):
     proxy_dist = fns['proxy_dist']
     proxy_binary = fns['proxy_binary']
@@ -256,6 +297,10 @@ def main():
                    'safety_margin': args.safety_margin,
                    'dense_sub': 3, 'num_sub': 4,
                    'max_speed': 2.0, 'seed': args.seed}
+        # GT plans for the repair escalation, computed lazily ONCE per
+        # problem and shared by every method's repair (the plan depends
+        # only on the env geometry and endpoints, not the method)
+        gt_plans = {}
         for method in args.methods:
             tag = f'{env_spec}/{method}'
             if tag in results:  # resume (ref :566-582)
@@ -270,11 +315,37 @@ def main():
                     t0 = time.time()
                     fixed = repair(robot, fns, np.asarray(rec['solution']),
                                    options)
+                    ok = validate(robot, obs, np.asarray(fixed['solution']))
+                    if not ok:
+                        # topological failure: escalate to a GT planner
+                        if pi not in gt_plans:
+                            gt_plans[pi] = plan_gt_path(
+                                robot, obs, s, t, args.seed + pi)
+                        fixed2 = None
+                        if gt_plans[pi] is not None:
+                            fixed2 = repair_rrt(robot, obs, fns,
+                                                np.asarray(rec['solution']),
+                                                gt_plans[pi],
+                                                {**options,
+                                                 'seed': args.seed + pi})
+                        if fixed2 is not None:
+                            ok2 = validate(robot, obs,
+                                           np.asarray(fixed2['solution']))
+                            if not ok2 and fixed2.get('rrt_path') is not None:
+                                # GT-Adam re-broke it; the raw densified
+                                # RRT path is motion-checked by the planner
+                                fixed2['solution'] = fixed2['rrt_path']
+                                ok2 = validate(robot, obs,
+                                               np.asarray(fixed2['solution']))
+                            if ok2:
+                                fixed, ok = fixed2, True
+                                rec['repair_rrt'] = True
                     rec['repair_time'] = time.time() - t0
-                    rec['repaired_valid'] = validate(
-                        robot, obs, np.asarray(fixed['solution']))
+                    rec['repaired_valid'] = ok
                     if rec['repaired_valid']:
-                        rec['solution'] = fixed['solution']
+                        rec['solution'] = (fixed['solution'] if isinstance(
+                            fixed['solution'], list)
+                            else np.asarray(fixed['solution']).tolist())
                         rec['valid'] = True
                 recs.append(rec)
             summary = {
