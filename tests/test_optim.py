@@ -151,3 +151,28 @@ def test_trustconstr_traj_optimize(world):
     assert rec['cnt_check'] > 0
     assert optim.trustconstr_traj_optimize is not \
         optim.gradient_free_traj_optimize
+
+
+def test_explicit_init_keeps_straight_line_trial(world):
+    """An explicit init_solution must not COST the straight-line seed
+    (optim.py trial 1 pinning): with a deliberately jagged init, free
+    space everywhere, and effectively zero optimization steps, the
+    returned solution is the straight line — the selection can only find
+    it if it is still in the trial bank. Regression for the repair-stage
+    failures this caused (speed_compare 2class_1 repair study, round 3)."""
+    robot, _, _, _ = world
+    start = jnp.asarray([0.2, 0.3], jnp.float32)
+    target = jnp.asarray([-0.4, 0.9], jnp.float32)
+    free_everywhere = lambda p: jnp.full((p.shape[0],), -1.0, jnp.float32)
+    jagged = np.array(jnp.linspace(start, target, 8))
+    jagged[1:-1] += np.asarray([[1.5, -2.0]] * 6) * np.asarray(
+        [[1], [-1], [1], [-1], [1], [-1]], np.float64)
+    rec = optim.adam_traj_optimize(
+        robot, free_everywhere, start, target,
+        {'N_WAYPOINTS': 10, 'NUM_RE_TRIALS': 3, 'MAXITER': 1,
+         'lr': 1e-7, 'safety_margin': 0.0, 'seed': 3,
+         'init_solution': jagged})
+    sol = np.asarray(rec['solution'])
+    straight = np.asarray(jnp.linspace(start, target, 10))
+    assert np.allclose(sol, straight, atol=1e-3), (
+        'straight-line trial lost when init_solution is explicit')
