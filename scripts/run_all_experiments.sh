@@ -17,6 +17,19 @@ python scripts/speed_compare.py --envs 1rect_1circle 3circle \
     --num-train 6000 --num-problems 3 --trials 5 \
     --output benchmarks/speed_compare.json --no-resume
 
+# Full 8-env x 9-method matrix (the reference's experiment design with
+# pre-generated RRT-verified test configs; resumes per cell). Hours on
+# one CPU core — the per-cell JSON resume is the point. CPU-forced so a
+# concurrent TPU job is never blocked (host-loop methods dominate; the
+# compiled methods are tunnel-insensitive at these sizes).
+python scripts/run_cpu.py scripts/speed_compare.py \
+    --envs 1rect 3circle 2class_1 1rect_1circle 2rect \
+           3circle_7d:7 1rect_1circle_7d:7 7d_narrow:7 \
+    --methods adamdiffco aldiffco bidiffco diffcogradfree givengrad \
+              trustconstr gtgradfree gtdist rrtadamdiffco \
+    --test-configs-dir benchmarks/test_configs \
+    --output benchmarks/speed_compare_matrix.json
+
 python scripts/baxter_trajopt_benchmark.py --num-samples 8000 \
     --output benchmarks/baxter_trajopt.json
 
