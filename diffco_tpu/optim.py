@@ -47,6 +47,26 @@ def _default_options(options: Optional[Dict]) -> Dict:
     return o
 
 
+def _resample_init(init, n_waypoints):
+    """Resample an ``init_solution`` of any length (>= 2 waypoints — e.g.
+    an RRT plan with its own waypoint count) onto exactly ``n_waypoints``
+    by densifying each segment then picking evenly spaced rows. Every
+    optimizer accepts arbitrary-length inits through this; indexing the
+    raw path would silently mismatch the constraint dimensions."""
+    init = jnp.asarray(init, jnp.float32)
+    if init.shape[0] < 2:
+        # ref asserts len(init) >= 2 (optim.py:266); fail with the cause
+        # instead of a ZeroDivisionError in the resampling arithmetic
+        raise ValueError(
+            f'init_solution needs >= 2 waypoints, got {init.shape[0]}')
+    if init.shape[0] != n_waypoints:
+        init = utils.dense_path(
+            init, max(1, -(-(n_waypoints - 1) // (init.shape[0] - 1))))
+        init = init[jnp.linspace(
+            0, init.shape[0] - 1, n_waypoints).astype(int)]
+    return init
+
+
 def _loss_terms(p, robot_fkine, dist_est, limits, safety_margin, max_speed):
     """Shared penalty terms; formulas match optim.py:88-99 exactly."""
     scores = dist_est(p)
@@ -227,18 +247,7 @@ def adam_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     key = jax.random.PRNGKey(int(o['seed']))
 
     if 'init_solution' in o and o['init_solution'] is not None:
-        init = jnp.asarray(o['init_solution'], jnp.float32)
-        if init.shape[0] < 2:
-            # ref asserts len(init) >= 2; fail with the cause instead of
-            # a ZeroDivisionError in the resampling arithmetic below
-            raise ValueError(
-                f'init_solution needs >= 2 waypoints, got {init.shape[0]}')
-        if init.shape[0] != n_waypoints:
-            init = utils.dense_path(
-                init, max(1, -(-(n_waypoints - 1) // (init.shape[0] - 1))))
-            init = init[jnp.linspace(
-                0, init.shape[0] - 1, n_waypoints).astype(int)]
-        init_first = init
+        init_first = _resample_init(o['init_solution'], n_waypoints)
     else:
         init_first = jnp.full((n_waypoints, start_cfg.shape[-1]), jnp.nan,
                               jnp.float32)
@@ -600,9 +609,11 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     solution_rec = None
     for trial in range(int(o['NUM_RE_TRIALS'])):
         if trial == 0 and o.get('init_solution') is not None:
-            init_path = np.array(o['init_solution'], np.float64)
-            # np.array COPIES: the endpoint writes below must not
-            # mutate the caller's reusable init_solution in place
+            # np.array COPIES (the endpoint writes below must not mutate
+            # the caller's reusable init_solution) and _resample_init
+            # fixes arbitrary-length inits (RRT plans) to n_waypoints
+            init_path = np.array(
+                _resample_init(o['init_solution'], n_waypoints), np.float64)
         elif trial == 0:
             init_path = np.linspace(start_np, target_np, n_waypoints)
         else:
@@ -645,6 +656,13 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     sol = np.concatenate([start_np[None],
                           solution_rec.x.reshape(-1, dof),
                           target_np[None]])
+    # 'feasible' reports constraint satisfaction at the RETURNED solution,
+    # decoupled from scipy's convergence flag ('success', the parity key):
+    # a maxiter termination can still hold a fully feasible path — the
+    # same criterion the on-device optimizers call success
+    feasible = bool(
+        float(np.min(np.asarray(f_col(solution_rec.x)))) >= -1e-6
+        and float(f_jl(solution_rec.x)) >= -1e-6)
     return {
         'start_cfg': start_np.tolist(),
         'target_cfg': target_np.tolist(),
@@ -652,6 +670,7 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
         'cost': float(solution_rec.fun),
         'time': elapsed,
         'success': success,
+        'feasible': feasible,
         'seed': int(o['seed']),
         'solution': sol.tolist(),
     }
@@ -712,9 +731,11 @@ def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
     res = None
     for trial in range(int(o['NUM_RE_TRIALS'])):
         if trial == 0 and o.get('init_solution') is not None:
-            init_path = np.array(o['init_solution'], np.float64)
-            # np.array COPIES: the endpoint writes below must not
-            # mutate the caller's reusable init_solution in place
+            # np.array COPIES (endpoint writes must not mutate the
+            # caller's init) and _resample_init fixes arbitrary-length
+            # inits (RRT plans) to n_waypoints
+            init_path = np.array(
+                _resample_init(o['init_solution'], n_waypoints), np.float64)
         elif trial == 0:
             init_path = np.linspace(start_np, target_np, n_waypoints)
         else:
@@ -732,6 +753,10 @@ def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
             success = True
             break
     elapsed = time.time() - start_t
+    # constraint satisfaction at the returned solution, decoupled from
+    # scipy's convergence flag (see givengrad_traj_optimize)
+    feasible = bool(float(np.min(con_collision(res.x))) >= -1e-6
+                    and float(con_jl(res.x)) >= -1e-6)
     return {
         'start_cfg': start_np.tolist(),
         'target_cfg': target_np.tolist(),
@@ -739,6 +764,7 @@ def gradient_free_traj_optimize(robot, checker, start_cfg, target_cfg,
         'cost': float(res.fun),
         'time': elapsed,
         'success': success,
+        'feasible': feasible,
         'seed': int(o['seed']),
         'solution': pre(res.x).tolist(),
     }
@@ -858,9 +884,11 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     solution_rec = None
     for trial in range(int(o['NUM_RE_TRIALS'])):
         if trial == 0 and o.get('init_solution') is not None:
-            init_path = np.array(o['init_solution'], np.float64)
-            # np.array COPIES: the endpoint writes below must not
-            # mutate the caller's reusable init_solution in place
+            # np.array COPIES (endpoint writes must not mutate the
+            # caller's init) and _resample_init fixes arbitrary-length
+            # inits (RRT plans) to n_waypoints
+            init_path = np.array(
+                _resample_init(o['init_solution'], n_waypoints), np.float64)
         elif trial == 0:
             init_path = np.linspace(start_np, target_np, n_waypoints)
         else:
@@ -895,6 +923,11 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     sol = np.concatenate([start_np[None],
                           solution_rec.x.reshape(-1, dof),
                           target_np[None]])
+    # constraint satisfaction at the returned solution, decoupled from
+    # scipy's convergence flag (see givengrad_traj_optimize)
+    fin = _bundle(solution_rec.x)
+    feasible = bool(float(np.min(fin['col'])) >= -1e-6
+                    and fin['jl'] >= -1e-6)
     return {
         'start_cfg': start_np.tolist(),
         'target_cfg': target_np.tolist(),
@@ -902,6 +935,7 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
         'cost': float(solution_rec.fun),
         'time': elapsed,
         'success': success,
+        'feasible': feasible,
         'seed': int(o['seed']),
         'solution': sol.tolist(),
     }

@@ -353,6 +353,12 @@ def main():
                 'n_problems': len(recs),
                 'backend': jax.default_backend(),
                 'success_rate': float(np.mean([r['success'] for r in recs])),
+                # scipy-path records carry 'feasible' (constraint
+                # satisfaction at the solution, decoupled from scipy's
+                # convergence flag — see optim docstrings); on-device
+                # optimizers' success IS feasibility already
+                'feasible_rate': float(np.mean(
+                    [r.get('feasible', r['success']) for r in recs])),
                 'valid_rate': float(np.mean([r['valid'] for r in recs])),
                 'mean_cost': float(np.mean([r['cost'] for r in recs])),
                 'mean_time': float(np.mean([r['time'] for r in recs])),

@@ -176,3 +176,47 @@ def test_explicit_init_keeps_straight_line_trial(world):
     straight = np.asarray(jnp.linspace(start, target, 10))
     assert np.allclose(sol, straight, atol=1e-3), (
         'straight-line trial lost when init_solution is explicit')
+
+
+def test_scipy_paths_resample_init_and_report_feasible(world):
+    """Every scipy-loop optimizer must (a) accept an init_solution whose
+    waypoint count differs from N_WAYPOINTS — RRT plans come with their
+    own length; the raw path would silently mismatch the constraint
+    dimensions — and (b) report 'feasible' (constraint satisfaction at
+    the returned solution) separately from scipy's convergence flag,
+    which with float32 derivatives almost always terminates on maxiter
+    even on fully feasible paths (benchmarks/RESULTS.md termination
+    study, round 3)."""
+    robot, obs, clf, dist_est = world
+    start, target = _find_free_pair(robot, obs, jax.random.PRNGKey(5))
+    # an RRT-like init: 7 waypoints, N_WAYPOINTS says 12
+    init = np.linspace(np.asarray(start), np.asarray(target), 7)
+    options = {'N_WAYPOINTS': 12, 'NUM_RE_TRIALS': 1, 'MAXITER': 10,
+               'history': False, 'safety_margin': -0.3, 'max_speed': 1.5,
+               'seed': 2, 'num_sub': 3, 'init_solution': init}
+
+    for opt_fn, score in [
+            (optim.givengrad_traj_optimize, dist_est),
+            (optim.trustconstr_traj_optimize, dist_est),
+            (optim.gradient_free_traj_optimize,
+             lambda q: (dist_est(q) > 0).astype(jnp.float32))]:
+        rec = opt_fn(robot, score, start, target, dict(options))
+        sol = np.asarray(rec['solution'])
+        assert sol.shape == (12, 2), opt_fn.__name__
+        assert np.allclose(sol[0], np.asarray(start), atol=1e-5)
+        assert np.allclose(sol[-1], np.asarray(target), atol=1e-5)
+        assert isinstance(rec['feasible'], bool), opt_fn.__name__
+        assert isinstance(rec['success'], bool), opt_fn.__name__
+
+
+def test_resample_init_preserves_endpoints():
+    """_resample_init keeps the exact endpoints and hits the requested
+    count for both up- and down-sampling."""
+    path = np.array([[0.0, 0.0], [1.0, 3.0], [2.0, 0.0]], np.float32)
+    for n in (2, 3, 5, 20):
+        out = np.asarray(optim._resample_init(path, n))
+        assert out.shape == (n, 2)
+        assert np.allclose(out[0], path[0], atol=1e-6)
+        assert np.allclose(out[-1], path[-1], atol=1e-6)
+    with pytest.raises(ValueError):
+        optim._resample_init(path[:1], 5)
