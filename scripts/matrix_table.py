@@ -26,9 +26,17 @@ for e in envs:
             cells.append('—')
             continue
         dof = r.get('dof')
-        cells.append(f"{r['valid_rate']:.1f} / {r['success_rate']:.1f} / "
-                     f"{r['mean_time']:.1f}s")
+        cell = (f"{r['valid_rate']:.1f} / {r['success_rate']:.1f} / "
+                f"{r['mean_time']:.1f}s")
+        # newer runs record 'feasible_rate' (constraint satisfaction at
+        # the solution, decoupled from scipy's convergence flag); show it
+        # when it differs from the strict flag
+        fr = r.get('feasible_rate')
+        if fr is not None and abs(fr - r['success_rate']) > 1e-9:
+            cell += f' (feas {fr:.1f})'
+        cells.append(cell)
     print(f'| {e} ({dof}) | ' + ' | '.join(cells) + ' |')
 print()
 print('cells: valid-after-repair rate / strict optimizer success rate / '
-      'mean wall time per problem')
+      'mean wall time per problem; "(feas x)" = feasible_rate when it '
+      'differs from the strict flag')
