@@ -36,7 +36,10 @@ def pairwise_sqdist(x, y):
     y = _flatten2(y)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # [N, 1]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True).T        # [1, M]
-    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+    # follow a float64 input (the scipy optimizers' scoped-x64 host
+    # re-trace) instead of truncating the accumulation back to f32
+    pet = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    xy = jnp.dot(x, y.T, preferred_element_type=pet,
                  precision='highest')
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
@@ -142,8 +145,12 @@ class TangentKernel(KernelFunc):
     def __call__(self, xs, x_primes):
         xs = _flatten2(xs)
         x_primes = _flatten2(x_primes)
-        prod = jnp.dot(xs, x_primes.T, preferred_element_type=jnp.float32,
-                       precision='highest')
+        prod = jnp.dot(
+            xs, x_primes.T,
+            preferred_element_type=(jnp.float64
+                                    if xs.dtype == jnp.float64
+                                    else jnp.float32),
+            precision='highest')
         return jnp.tanh(self.a * prod + self.c)
 
 

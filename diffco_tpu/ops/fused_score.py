@@ -207,11 +207,14 @@ def _poly_score_xla(x, s, w, valid_mask=None, bf16: bool = False):
     1.3-2.7x faster across bench shapes, rel err ~4e-3)."""
     x2 = jnp.sum(x * x, axis=1, keepdims=True)
     s2 = jnp.sum(s * s, axis=1, keepdims=True)
+    # a float64 query (the scipy optimizers' scoped-x64 host re-trace)
+    # keeps float64 accumulation instead of truncating back to f32
+    pet = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     if bf16:
         xs = jnp.dot(x.astype(jnp.bfloat16), s.astype(jnp.bfloat16).T,
                      preferred_element_type=jnp.float32)
     else:
-        xs = jnp.dot(x, s.T, preferred_element_type=jnp.float32,
+        xs = jnp.dot(x, s.T, preferred_element_type=pet,
                      precision='highest')
     r = jnp.sqrt(jnp.maximum(x2 + s2.T - 2.0 * xs, 0.0) + 1e-12)
     if valid_mask is not None:
@@ -220,7 +223,7 @@ def _poly_score_xla(x, s, w, valid_mask=None, bf16: bool = False):
         return jnp.dot(r.astype(jnp.bfloat16),
                        w.reshape(-1, 1).astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    return jnp.dot(r, w.reshape(-1, 1), preferred_element_type=jnp.float32,
+    return jnp.dot(r, w.reshape(-1, 1), preferred_element_type=pet,
                    precision='highest')
 
 
@@ -254,7 +257,10 @@ def rq_score(x, supports, weights, gamma: float = 10.0, p: int = 2,
         w = w * valid_mask.astype(w.dtype)
     x2 = jnp.sum(x * x, axis=1, keepdims=True)
     s2 = jnp.sum(supports * supports, axis=1, keepdims=True)
-    xs = jnp.dot(x, supports.T, preferred_element_type=jnp.float32,
+    xs = jnp.dot(x, supports.T,
+                 preferred_element_type=(jnp.float64
+                                         if x.dtype == jnp.float64
+                                         else jnp.float32),
                  precision='highest')
     d2 = jnp.maximum(x2 + s2.T - 2.0 * xs, 0.0)
     k = (1.0 + (gamma / p) * d2) ** (-p)

@@ -196,6 +196,30 @@ def segment_violations(scores, n_segments: int, num_sub: int,
     return viol.reshape(n_segments, num_sub).sum(axis=1)
 
 
+def segment_max_scores(scores, n_segments: int, num_sub: int, xp=jnp):
+    """Per-segment MAX score — the non-degenerate constraint form.
+
+    Same segment ownership as :func:`segment_violations` (each segment
+    owns its start point plus the ``num_sub - 1`` interior points; the
+    excluded global start becomes a -inf entry so the reshape is exact).
+    ``margin - segment_max_scores(...) >= 0`` describes the SAME feasible
+    set as ``-segment_violations(...) >= 0`` but keeps a nonzero jacobian
+    (the score gradient at the segment's argmax) on and inside the
+    boundary, where the clamped-sum form is identically zero — the
+    reference's formulation (ref optim.py:199-206) hands interior-point
+    solvers a rank-deficient constraint there ("Singular Jacobian"
+    warnings, xtol-only termination). Returns ``[n_segments]``.
+    """
+    s = xp.asarray(scores)
+    if s.ndim > 1:
+        s = s.reshape(s.shape[0], -1).max(axis=-1)
+    else:
+        s = s.reshape(-1)
+    neg = xp.asarray(-xp.inf, s.dtype)
+    s = xp.concatenate([neg[None], s])
+    return s.reshape(n_segments, num_sub).max(axis=1)
+
+
 def dense_path_params(q, max_step: float, max_dense_waypoints: int | None = None
                       ) -> int:
     """Host-side helper: pick the per-segment subdivision count that matches

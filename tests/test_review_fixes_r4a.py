@@ -1,0 +1,106 @@
+"""Round-4 regression tests: f64 scipy backend, the max constraint form,
+givengrad's reference-density default, and the corridor-AL helpers.
+
+Context: benchmarks/reference_flag_parity.json measured the REFERENCE's
+own scipy optimizers on the identical staged problems — trust-constr
+records success 0/5 there too (GT-valid 5/5), so the strict flag is a
+property of interior-point termination on this problem class, not a port
+deficiency. givengrad's flag AND raw validity, however, were measurably
+hurt by over-densifying the collision constraint vs the reference's
+dense-by-step semantics (ref optim.py:194) — fixed by the density default
+tested here.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffco_tpu import optim, utils
+from diffco_tpu.robots import RevolutePlanarRobot
+
+pytestmark = pytest.mark.smoke
+
+
+def _score(qq):
+    # smooth stand-in proxy: negative (free) away from a disk at (.9,.9)
+    return (0.3 - jnp.linalg.norm(
+        jnp.asarray(qq) - jnp.asarray([0.9, 0.9]), axis=-1)).reshape(-1, 1)
+
+
+def test_segment_max_scores_matches_feasible_set():
+    """margin - segment_max >= 0 iff all clamped violations are 0."""
+    rng = np.random.RandomState(0)
+    n_seg, num_sub, margin = 5, 4, -0.1
+    scores = rng.randn(n_seg * num_sub - 1).astype(np.float32)
+    vmax = np.asarray(utils.segment_max_scores(
+        jnp.asarray(scores), n_seg, num_sub))
+    viol = np.asarray(utils.segment_violations(
+        jnp.asarray(scores), n_seg, num_sub, margin))
+    assert vmax.shape == (n_seg,) and viol.shape == (n_seg,)
+    # identical feasible set, segment by segment
+    np.testing.assert_array_equal(margin - vmax >= 0, -viol >= 0)
+    # -inf padding must never win a max
+    assert np.all(np.isfinite(vmax))
+
+
+def test_scipy_exec_backend_f64_gradients():
+    """The f64 wrapper really produces float64 host values."""
+    wrap, jdt = optim._scipy_exec_backend({})
+    assert jdt == jnp.float64
+    g = wrap(jax.grad(lambda x: jnp.sum(jnp.sin(x) ** 2)))
+    out = np.asarray(g(np.linspace(0.0, 1.0, 8)))
+    assert out.dtype == np.float64
+    np.testing.assert_allclose(out, 2 * np.sin(np.linspace(0, 1, 8))
+                               * np.cos(np.linspace(0, 1, 8)), rtol=1e-12)
+    # opt-out returns the f32 passthrough
+    wrap32, jdt32 = optim._scipy_exec_backend({'scipy_fp64': False})
+    assert jdt32 == jnp.float32
+
+
+def test_givengrad_density_default_follows_max_speed():
+    """Without options['num_sub'], givengrad densifies by step like the
+    reference — close endpoints get num_sub=1, far ones get more."""
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    counts = {}
+    for name, target in (('near', [0.4, 0.2]), ('far', [2.8, 2.6])):
+        rec = optim.givengrad_traj_optimize(
+            robot, _score, np.zeros(2), np.asarray(target),
+            {'N_WAYPOINTS': 4, 'NUM_RE_TRIALS': 1, 'MAXITER': 2,
+             'max_speed': 0.25, 'seed': 0})
+        counts[name] = rec['cnt_check']
+    # cnt_check = trials * evals * n_dense; with identical solver budgets
+    # the far problem must have strictly denser constraint sampling
+    assert counts['far'] > counts['near']
+
+
+def test_trustconstr_constraint_forms_same_record_schema():
+    """Both constraint forms run and report the same record keys; 'clamp'
+    restores the reference formulation exactly."""
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    for form in ('max', 'clamp'):
+        rec = optim.trustconstr_traj_optimize(
+            robot, _score, np.asarray([-1.2, 0.1]), np.asarray([1.2, 0.3]),
+            {'N_WAYPOINTS': 5, 'NUM_RE_TRIALS': 1, 'MAXITER': 5,
+             'num_sub': 2, 'seed': 0, 'constraint_form': form})
+        assert {'success', 'feasible', 'cnt_check', 'cost',
+                'solution'} <= set(rec)
+        assert np.asarray(rec['solution']).shape == (5, 2)
+
+
+def test_corridor_band_samples_shape_and_limits():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts'))
+    from speed_compare import corridor_band_samples, CORRIDOR_BUCKET
+    rng = np.random.RandomState(0)
+    limits = np.asarray([[-1.0, 1.0]] * 3)
+    plan = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.2, -0.3],
+                       [0.9, 0.9, 0.9]])
+    failed = np.asarray([[0.0, 0.0, 0.0], [0.9, 0.9, 0.9]])
+    for paths in ([plan], [plan, failed]):
+        s = corridor_band_samples(paths, limits, rng)
+        # fixed bucket (shape-stability invariant) and clipped to limits
+        assert s.shape == (CORRIDOR_BUCKET, 3)
+        assert s.dtype == np.float32
+        assert np.all(s >= -1.0) and np.all(s <= 1.0)
