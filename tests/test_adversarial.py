@@ -13,6 +13,9 @@ import pytest
 
 import diffco_tpu as dc
 from diffco_tpu import kernels, optim
+
+
+pytestmark = pytest.mark.smoke  # fast single-core tier (pyproject)
 from diffco_tpu.perceptron import DiffCo
 from diffco_tpu.robots import RevolutePlanarRobot
 from diffco_tpu.robots.kinematics import chain_from_joint_list

@@ -53,6 +53,7 @@ def test_fk_diffco_panda_fit(panda_world):
     assert scores.shape[:2] == (5, 10)
 
 
+@pytest.mark.smoke
 def test_fk_diffco_2link_fit():
     shape_env = dc.ShapeEnv(shapes={
         'box1': {'type': 'Box', 'params': {'extents': [0.5, 0.5, 0.5]},

@@ -10,6 +10,10 @@ from diffco_tpu.geometry import (
 from diffco_tpu.robots import RevolutePlanarRobot
 
 
+import pytest
+pytestmark = pytest.mark.smoke  # fast single-core tier (pyproject)
+
+
 def test_point_segment_dist():
     a = jnp.asarray([0.0, 0.0])
     b = jnp.asarray([2.0, 0.0])

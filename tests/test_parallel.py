@@ -265,6 +265,7 @@ def _planar_world():
     return robot, obs, gt
 
 
+@pytest.mark.smoke
 def test_checker_mesh_fit_parity(mesh):
     """RBFDiffCo(mesh=...) must reproduce the single-device fit exactly:
     same support count, same verify metrics, same scores (same seed ->

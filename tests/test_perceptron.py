@@ -37,6 +37,7 @@ def test_train_loop_separates(key):
     assert np.allclose(np.asarray(K @ gains), np.asarray(hyp), atol=1e-2)
 
 
+@pytest.mark.smoke
 def test_diffco_train_and_scores(key):
     robot, obs, q, labels, dist = _dataset(key)
     clf = DiffCo(kernel_func=kernels.RQKernel(10.0), beta=1.0)

@@ -5,6 +5,8 @@ import pytest
 
 from diffco_tpu import utils, kernels
 
+pytestmark = pytest.mark.smoke  # fast single-core tier (pyproject)
+
 
 def test_wrap2pi():
     x = np.linspace(-8 * np.pi, 8 * np.pi, 1001)
