@@ -32,9 +32,15 @@ METHODS = ['adamdiffco', 'aldiffco', 'bidiffco', 'diffcogradfree',
            'givengrad', 'trustconstr', 'gtgradfree', 'gtdist',
            'rrtadamdiffco']
 
+# methods that optimize against the LEARNED proxy — the ones corridor-
+# targeted active learning can help (gt* methods already see the exact
+# geometry; re-teaching them is meaningless)
+PROXY_METHODS = {'adamdiffco', 'aldiffco', 'bidiffco', 'diffcogradfree',
+                 'givengrad', 'trustconstr', 'rrtadamdiffco'}
+
 
 def build_world(env_name, dof, link_length, num_train, seed,
-                fit_target='dist'):
+                fit_target='dist', return_dataset=False):
     obstacles = get_env(env_name)
     dataset = routines.autogenerate_2d_dataset(
         num_init_points=num_train, dof=dof, link_length=link_length,
@@ -49,6 +55,10 @@ def build_world(env_name, dof, link_length, num_train, seed,
     # boundary — measured prerequisite for valid trajectories
     # (benchmarks/RESULTS.md trajopt notes)
     checker.fit_poly(kernels.Polyharmonic(1, 1), target=fit_target)
+    if return_dataset:
+        return robot, obs, checker, (np.asarray(cfgs),
+                                     np.asarray(labels[:, 0]),
+                                     np.asarray(dists[:, 0]))
     return robot, obs, checker
 
 
@@ -139,6 +149,75 @@ def repair_rrt(robot, obs, fns, solution, path, options):
         jnp.asarray(solution[-1]), opts)
     rec['rrt_path'] = path.tolist()
     return rec
+
+
+# -- corridor-targeted active learning ---------------------------------------
+# When proxy trajopt AND the GT-Adam repair both fail, the failure is
+# topological: the proxy has never SEEN the narrow corridor (uniform
+# training samples almost never land inside it), so every proxy gradient
+# pushes the path back out of the passage. But at that point the harness
+# holds exactly the missing information — the GT planner's path through
+# the corridor and the method's own failed path (configurations the proxy
+# scores free but the world does not). Densify bands around both, label
+# them with the exact geometry, retrain the proxy on base + corridor
+# samples, and re-run the METHOD'S OWN optimizer on the updated proxy —
+# the returned trajectory is then the optimizer's (smooth, cost-optimized)
+# path, not the raw planner fallback. This is the paper's own
+# active-learning idea (ref collision_checkers.py:220-252 exploits around
+# supports) aimed at the corridor instead of the support set.
+
+CORRIDOR_BUCKET = 2048  # fixed corridor-sample count: the retrain program
+#     and the re-fit poly solve compile ONCE per env (shape drift on the
+#     TPU would recompile ~1 min per failing problem)
+
+
+def corridor_band_samples(paths, limits, rng, n_total=CORRIDOR_BUCKET,
+                          num_sub=8, scales=(0.05, 0.15, 0.35)):
+    """Jittered bands around densified path(s): the corridor exploit set.
+
+    Multiple noise scales matter: the tightest band labels the corridor
+    interior (mostly free — teaches the proxy the passage EXISTS), the
+    wider bands straddle the walls (teaches where it ENDS). Uniform
+    leftovers keep the total at exactly ``n_total`` for shape stability.
+    """
+    bands = []
+    for path in paths:
+        p = np.asarray(path, np.float32)
+        if p.shape[0] < 2:
+            continue
+        fr = (np.arange(num_sub, dtype=np.float32) / num_sub)[None, :, None]
+        dense = (p[:-1][:, None, :]
+                 + fr * (p[1:] - p[:-1])[:, None, :]).reshape(-1, p.shape[1])
+        bands.append(dense)
+    dense = np.concatenate(bands, axis=0)
+    n_band = int(n_total * 0.9)
+    per_scale = n_band // len(scales)
+    out = []
+    for s in scales:
+        idx = rng.randint(0, dense.shape[0], per_scale)
+        out.append(dense[idx] + rng.normal(size=(per_scale,
+                                                 dense.shape[1])) * s)
+    n_uniform = n_total - per_scale * len(scales)
+    out.append(rng.uniform(limits[:, 0], limits[:, 1],
+                           (n_uniform, dense.shape[1])))
+    return np.clip(np.concatenate(out, axis=0),
+                   limits[:, 0], limits[:, 1]).astype(np.float32)
+
+
+def build_corridor_checker(robot, base_dataset, samples, gt_label_fn,
+                           fit_target='dist'):
+    """Retrain the proxy on base + corridor samples (GT-labeled)."""
+    cfgs, labels, dists = base_dataset
+    sd = np.asarray(gt_label_fn(jnp.asarray(samples)))  # [N] signed dist
+    new_cfgs = np.concatenate([cfgs, samples], axis=0)
+    new_labels = np.concatenate([labels, (sd > 0) * 2.0 - 1.0], axis=0)
+    new_dists = np.concatenate([dists, sd], axis=0)
+    ck = DiffCo(kernel_func=kernels.RQKernel(10.0))
+    ck.train(jnp.asarray(new_cfgs), jnp.asarray(new_labels),
+             max_iteration=3 * len(new_cfgs),
+             distance=jnp.asarray(new_dists))
+    ck.fit_poly(kernels.Polyharmonic(1, 1), target=fit_target)
+    return ck
 
 
 def run_method(method, robot, checker, fns, start, target, options):
@@ -263,10 +342,19 @@ def main():
         dof = int(dof_s) if dof_s else args.dof
         # longer chains need shorter links to fit the same workspace
         link_length = args.link_length * 2 / dof
-        robot, obs, checker = build_world(
+        robot, obs, checker, base_dataset = build_world(
             env_name, dof, link_length, args.num_train, args.seed,
-            fit_target=args.fit_target)
+            fit_target=args.fit_target, return_dataset=True)
         fns = make_score_fns(robot, obs, checker)
+        # corridor-AL helpers: ONE jitted labeler per env (eager geometry
+        # costs a device dispatch per op — design invariant), one RNG, and
+        # a per-problem cache of corridor-retrained proxies shared by all
+        # methods that fail that problem
+        gt_label_fn = jax.jit(
+            lambda q: planar_robot_signed_dist(robot, obs, q).max(axis=-1))
+        limits_np = np.asarray(robot.limits, np.float64)
+        rng_al = np.random.RandomState(args.seed + 31337)
+        corridor_worlds = {}
         pairs = load_test_configs(args.test_configs_dir, env_name, dof,
                                   args.num_problems)
         if pairs is None:
@@ -291,11 +379,16 @@ def main():
         # invariant that stops the optimizer threading obstacles between
         # waypoints); a slightly negative margin on the distance-fitted
         # surrogate keeps paths off the boundary
+        # num_sub deliberately NOT set: gradient_free/trustconstr default
+        # to 4/segment; givengrad defaults to the reference's
+        # dense-by-step density (see optim.givengrad_traj_optimize —
+        # forcing 4 there measurably breaks both its strict flag and its
+        # raw validity)
         options = {'N_WAYPOINTS': args.waypoints,
                    'NUM_RE_TRIALS': args.trials, 'MAXITER': args.maxiter,
                    'history': False,
                    'safety_margin': args.safety_margin,
-                   'dense_sub': 3, 'num_sub': 4,
+                   'dense_sub': 3,
                    'max_speed': 2.0, 'seed': args.seed}
         # GT plans for the repair escalation, computed lazily ONCE per
         # problem and shared by every method's repair (the plan depends
@@ -317,10 +410,60 @@ def main():
                                    options)
                     ok = validate(robot, obs, np.asarray(fixed['solution']))
                     if not ok:
-                        # topological failure: escalate to a GT planner
+                        # topological failure: get a GT plan through the
+                        # corridor (computed once per problem, shared)
                         if pi not in gt_plans:
                             gt_plans[pi] = plan_gt_path(
                                 robot, obs, s, t, args.seed + pi)
+                    if (not ok and method in PROXY_METHODS
+                            and gt_plans[pi] is not None):
+                        # corridor-targeted active learning: retrain the
+                        # proxy on GT-labeled bands around the plan (round
+                        # 1, cached per problem) and around this method's
+                        # failed path too (round 2), then re-run the
+                        # METHOD'S OWN optimizer — the returned path is
+                        # the optimizer's, not the planner's
+                        al_t0 = time.time()
+                        failed_paths = [np.asarray(rec['solution'])]
+                        rounds = 0
+                        rec2 = None
+                        while rounds < 2 and not ok:
+                            rounds += 1
+                            if rounds == 1:
+                                if pi not in corridor_worlds:
+                                    smp = corridor_band_samples(
+                                        [gt_plans[pi]], limits_np, rng_al)
+                                    ck2 = build_corridor_checker(
+                                        robot, base_dataset, smp,
+                                        gt_label_fn, args.fit_target)
+                                    corridor_worlds[pi] = (
+                                        ck2, make_score_fns(robot, obs,
+                                                            ck2))
+                                ck2, fns2 = corridor_worlds[pi]
+                            else:
+                                smp = corridor_band_samples(
+                                    [gt_plans[pi]] + failed_paths,
+                                    limits_np, rng_al)
+                                ck2 = build_corridor_checker(
+                                    robot, base_dataset, smp, gt_label_fn,
+                                    args.fit_target)
+                                fns2 = make_score_fns(robot, obs, ck2)
+                            rec2 = run_method(
+                                method, robot, ck2, fns2, s, t,
+                                {**options, 'seed': args.seed + pi,
+                                 'init_solution': jnp.asarray(
+                                     gt_plans[pi], jnp.float32)})
+                            ok = validate(robot, obs,
+                                          np.asarray(rec2['solution']))
+                            if not ok:
+                                failed_paths.append(
+                                    np.asarray(rec2['solution']))
+                        rec['corridor_al'] = {
+                            'rounds': rounds, 'valid': bool(ok),
+                            'time': time.time() - al_t0}
+                        if ok:
+                            fixed = rec2
+                    elif not ok:
                         fixed2 = None
                         if gt_plans[pi] is not None:
                             fixed2 = repair_rrt(robot, obs, fns,
@@ -337,9 +480,34 @@ def main():
                                 fixed2['solution'] = fixed2['rrt_path']
                                 ok2 = validate(robot, obs,
                                                np.asarray(fixed2['solution']))
+                                if ok2:
+                                    fixed2['rrt_fallback'] = True
                             if ok2:
                                 fixed, ok = fixed2, True
                                 rec['repair_rrt'] = True
+                                if fixed2.get('rrt_fallback'):
+                                    rec['rrt_fallback'] = True
+                    if (not ok and rec.get('corridor_al') is not None
+                            and gt_plans[pi] is not None):
+                        # corridor AL failed twice: fall back to the RRT
+                        # escalation so the row still records a valid path
+                        # (the corridor_al.valid=False key records the miss)
+                        fixed2 = repair_rrt(robot, obs, fns,
+                                            np.asarray(rec['solution']),
+                                            gt_plans[pi],
+                                            {**options,
+                                             'seed': args.seed + pi})
+                        ok2 = validate(robot, obs,
+                                       np.asarray(fixed2['solution']))
+                        if not ok2 and fixed2.get('rrt_path') is not None:
+                            fixed2['solution'] = fixed2['rrt_path']
+                            ok2 = validate(robot, obs,
+                                           np.asarray(fixed2['solution']))
+                            if ok2:
+                                rec['rrt_fallback'] = True
+                        if ok2:
+                            fixed, ok = fixed2, True
+                            rec['repair_rrt'] = True
                     rec['repair_time'] = time.time() - t0
                     rec['repaired_valid'] = ok
                     if rec['repaired_valid']:
@@ -364,6 +532,14 @@ def main():
                 'mean_time': float(np.mean([r['time'] for r in recs])),
                 'mean_cnt_check': float(np.mean([r['cnt_check']
                                                  for r in recs])),
+                # corridor-AL bookkeeping: how many returned paths came
+                # from the optimizer after corridor retraining, and how
+                # many degraded all the way to the raw planner path
+                'corridor_al_rate': float(np.mean(
+                    [bool(r.get('corridor_al', {}).get('valid'))
+                     for r in recs])),
+                'rrt_fallback_rate': float(np.mean(
+                    [bool(r.get('rrt_fallback')) for r in recs])),
                 'records': recs,
             }
             results[tag] = summary
