@@ -176,6 +176,186 @@ def _make_dh_score_kernel(dh_const, point_specs, base, n_joints, n_pts,
 _tile_b = _fused_tile_b
 
 
+def _make_dh_multi_score_kernel(dh_const, point_specs, base, n_joints,
+                                n_pts, f_pad, n_class, use_bf16: bool):
+    """Multi-class variant of _make_dh_score_kernel (ref MultiDiffCo
+    rbf_score, kernel_perceptrons.py:679-692): per-class gain columns
+    over a SHARED support set. The FK forward, the [S, TB] distance
+    block, and the single rsqrt sweep — the VPU-bound majority of the
+    kernel (benchmarks/roofline.json) — are computed once and shared by
+    all classes; per-class work is one widened MXU matmul (the C score
+    rows ride the same r cast, the C su/rowsum blocks ride one
+    [S, C*(F+1)] x [S, TB] matmul over the shared rinv cast) plus C
+    suffix-sum backwards."""
+    dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    frame_ids = [fi for fi, _ in point_specs]
+    fp1 = f_pad + 1
+
+    def kernel(qT_ref, s_ref, w_ref, score_ref, dqT_ref):
+        q_rows = [qT_ref[i:i + 1, :] for i in range(n_joints)]
+        axes, pts = _dh_chain_tile(q_rows, dh_const, point_specs, base)
+        comps = []
+        for p in pts:
+            comps.extend(p)
+        zero_row = jnp.zeros_like(comps[0])
+        comps.extend([zero_row] * (f_pad - len(comps)))
+        xT = jnp.concatenate(comps, axis=0)            # [F_pad, TB]
+        s = s_ref[:].astype(jnp.float32)               # [S, F_pad]
+        W = w_ref[:].astype(jnp.float32)               # [S, C]
+        x2 = jnp.sum(xT * xT, axis=0, keepdims=True)   # [1, TB]
+        s2 = jnp.sum(s * s, axis=1, keepdims=True)     # [S, 1]
+        sx = jax.lax.dot_general(
+            s.astype(dt), xT.astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S, TB]
+        d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0) + 1e-12
+        rinv = jax.lax.rsqrt(d2)
+        r = d2 * rinv
+        score_ref[:] = jax.lax.dot_general(
+            W.astype(dt), r.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [C, TB]
+        rinv_dt = rinv.astype(dt)
+        swv = jnp.concatenate(
+            [jnp.concatenate([s * W[:, c:c + 1], W[:, c:c + 1]], axis=1)
+             for c in range(n_class)], axis=1)         # [S, C*(F_pad+1)]
+        su_all = jax.lax.dot_general(
+            swv.astype(dt), rinv_dt,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [C*(F_pad+1), TB]
+        for c in range(n_class):
+            su = su_all[c * fp1:c * fp1 + f_pad]
+            rowsum = su_all[c * fp1 + f_pad:c * fp1 + fp1]
+
+            def g_comp(row, su=su, rowsum=rowsum):
+                return xT[row:row + 1, :] * rowsum - su[row:row + 1, :]
+
+            sg = [zero_row for _ in range(3)]
+            sm = [zero_row for _ in range(3)]
+            k = n_pts - 1
+            for j in range(n_joints, 0, -1):
+                while k >= 0 and frame_ids[k] >= j:
+                    g = (g_comp(3 * k), g_comp(3 * k + 1),
+                         g_comp(3 * k + 2))
+                    p = pts[k]
+                    cx, cy, cz = _cross(p, g)
+                    sm = [sm[0] + cx, sm[1] + cy, sm[2] + cz]
+                    sg = [sg[0] + g[0], sg[1] + g[1], sg[2] + g[2]]
+                    k -= 1
+                z, o = axes[j - 1]
+                ox_, oy_, oz_ = _cross(o, sg)
+                dqT_ref[c * n_joints + j - 1:c * n_joints + j, :] = (
+                    z[0] * (sm[0] - ox_) + z[1] * (sm[1] - oy_)
+                    + z[2] * (sm[2] - oz_))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('spec', 'use_bf16'))
+def _dh_multi_score_grad_pallas(q, s, W, spec, use_bf16=True):
+    """q [B, J], W [S, C] -> (score [B, C], dscore_c/dq [C, B, J])
+    through the fused multi-class FK+score+grad kernel."""
+    dh_const, point_specs, base = spec
+    n_joints = len(dh_const)
+    n_pts = len(point_specs)
+    F = 3 * n_pts
+    f_pad = _round_up(F, 8)
+    B = q.shape[0]
+    S = s.shape[0]
+    C = W.shape[1]
+    TB = _tile_b(S)
+    Bp = _round_up(max(B, 128), TB)
+    qT = q.T
+    if Bp != B:
+        qT = jnp.zeros((n_joints, Bp), q.dtype).at[:, :B].set(qT)
+    sp = s if s.shape[1] == f_pad else jnp.concatenate(
+        [s, jnp.zeros((S, f_pad - s.shape[1]), s.dtype)], axis=1)
+    kernel = _make_dh_multi_score_kernel(dh_const, point_specs, base,
+                                         n_joints, n_pts, f_pad, C,
+                                         use_bf16)
+    score, dqT = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((C, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((C * n_joints, Bp), jnp.float32)),
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((n_joints, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, f_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((C, TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((C * n_joints, TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 + 2 * C) * Bp * S * f_pad + 500 * C * Bp,
+            bytes_accessed=Bp * (n_joints * 8 + 4 * C) + S * f_pad * 4,
+            transcendentals=Bp * S + 2 * n_joints * Bp),
+        interpret=_interpret(),
+    )(qT, sp, W)
+    return (score[:, :B].T,
+            dqT.reshape(C, n_joints, Bp)[:, :, :B].transpose(0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def dh_polyharmonic_multi_score(q, supports, W, spec):
+    """Per-class polyharmonic DiffCo scores through DH-chain FK, [B, C]
+    (ref MultiDiffCo.rbf_score, kernel_perceptrons.py:679-692); one
+    fused kernel computes all class scores and their configuration
+    gradients (the VJP residual) in a single pass over the shared
+    support tile.
+
+    DIFFERENTIATION CONTRACT: same as dh_polyharmonic_score —
+    differentiable w.r.t. ``q`` only; supports/W are trained constants
+    (zero cotangents) and forward mode raises."""
+    score, _ = _dh_multi_score_grad_pallas(q, supports, W, spec)
+    return score
+
+
+def _dhpms_fwd(q, supports, W, spec):
+    score, dq = _dh_multi_score_grad_pallas(q, supports, W, spec)
+    return score, (dq, supports, W)
+
+
+def _dhpms_bwd(spec, res, g):
+    dq, supports, W = res                       # dq [C, B, J], g [B, C]
+    dq_out = jnp.einsum('bc,cbj->bj', g, dq)
+    return (dq_out, jnp.zeros_like(supports), jnp.zeros_like(W))
+
+
+dh_polyharmonic_multi_score.defvjp(_dhpms_fwd, _dhpms_bwd)
+
+
+def fk_polyharmonic_multi_score_auto(q, robot, supports, W,
+                                     valid_mask=None,
+                                     epsilon: float = 1.0):
+    """Multi-class counterpart of fk_polyharmonic_score_auto: route
+    ``scores(fkine(q)) [B, C]`` through the fused multi-class kernel
+    when available, else FK + the XLA kernel-matvec formulation."""
+    if valid_mask is not None:
+        W = W * valid_mask.astype(W.dtype)[:, None]
+    if epsilon != 1.0:
+        W = W / epsilon
+    if dh_score_grad_available(robot, q.shape[0]):
+        spec = getattr(robot, '_dh_spec_cache', None)
+        if spec is None:
+            spec = robot_spec(robot)
+            robot._dh_spec_cache = spec
+        return dh_polyharmonic_multi_score(q, supports, W, spec)
+    pts = robot.fkine(q)
+    pts = pts.reshape(q.shape[0], -1)
+    d2 = (jnp.sum(pts * pts, axis=1, keepdims=True)
+          + jnp.sum(supports * supports, axis=1)[None, :]
+          - 2.0 * jnp.matmul(pts, supports.T, precision='highest'))
+    r = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+    return jnp.matmul(r, W, precision='highest')
+
+
 @functools.partial(jax.jit, static_argnames=('spec', 'use_bf16'))
 def _dh_score_grad_pallas(q, s, w, spec, use_bf16=True):
     """q [B, J] -> (score [B], dscore/dq [B, J]) through the fused

@@ -898,8 +898,27 @@ class MultiDiffCo(DiffCo):
         self.rbf_nodes = jnp.stack(nodes, axis=1)  # [S, C]
 
     def poly_score(self, point=None, transformed_point=None):
+        """[B, C] per-class surrogate scores (ref :679-692). Same
+        differentiation contract as DiffCo.poly_score: at batch >=
+        ops.fk_score._FK_FUSED_MIN_BATCH on TPU, FK-transformed DH-robot
+        checkers route through ONE fused Pallas kernel that shares the
+        FK forward and the [S, TB] distance/rsqrt sweep across all
+        classes (custom_vjp — q-gradients only, forward mode raises);
+        below the gate the XLA route is twice-differentiable."""
+        is_poly1 = (isinstance(self.rbf_kernel, Polyharmonic)
+                    and self.rbf_kernel.k == 1)
         if transformed_point is None:
             point = jnp.atleast_2d(jnp.asarray(point))
+            if is_poly1:
+                robot = getattr(self.transform, '__self__', None)
+                if (robot is not None
+                        and getattr(robot, 'fkine', None) == self.transform):
+                    from .ops.fk_score import (
+                        fk_polyharmonic_multi_score_auto)
+                    return fk_polyharmonic_multi_score_auto(
+                        point, robot, self.support_transformed,
+                        self.rbf_nodes, self.valid_mask,
+                        epsilon=self.rbf_kernel.epsilon)
             pt = self._apply_transform(point)
         else:
             tp = jnp.asarray(transformed_point)

@@ -255,3 +255,63 @@ def test_tile_b_lane_alignment():
     assert fk_score._tile_b(512) == 1024
     assert fk_score._tile_b(1152) == 768
     assert fk_score._tile_b(8192) == 256
+
+
+@pytest.mark.smoke
+def test_multi_class_fused_matches_xla_fp32(key):
+    """Multi-class kernel (shared FK + distance sweep, per-class score/su
+    rows): scores and per-class config gradients match the XLA
+    formulation class by class."""
+    robot = PandaFK()
+    k1, k2, k3 = jax.random.split(key, 3)
+    S, B, C = 64, 192, 3
+    q_sup = robot.rand_configs(S, k1)
+    sup = robot.fkine(q_sup).reshape(S, -1)
+    W = jax.random.normal(k2, (S, C)) * 0.05
+    q = robot.rand_configs(B, k3)
+    spec = fk_score.robot_spec(robot)
+    score, dq = fk_score._dh_multi_score_grad_pallas(q, sup, W, spec,
+                                                     use_bf16=False)
+    assert score.shape == (B, C) and dq.shape == (C, B, 7)
+    for c in range(C):
+        ref = _poly_score_xla(robot.fkine(q, flat=True),
+                              sup, W[:, c]).reshape(-1)
+        np.testing.assert_allclose(np.asarray(score[:, c]),
+                                   np.asarray(ref), rtol=1e-4, atol=1e-4)
+        ref_grad = jax.grad(
+            lambda qq: _poly_score_xla(robot.fkine(qq, flat=True),
+                                       sup, W[:, c]).sum())(q)
+        np.testing.assert_allclose(np.asarray(dq[c]),
+                                   np.asarray(ref_grad),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_multi_class_custom_vjp_route(key):
+    """dh_polyharmonic_multi_score: the VJP mixes per-class gradients
+    with the upstream cotangent (production bf16 precision)."""
+    robot = PandaFK()
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    S, B, C = 64, 192, 3
+    q_sup = robot.rand_configs(S, k1)
+    sup = robot.fkine(q_sup).reshape(S, -1)
+    W = jax.random.normal(k2, (S, C)) * 0.05
+    q = robot.rand_configs(B, k3)
+    mix = jax.random.normal(k4, (C,))
+    spec = fk_score.robot_spec(robot)
+
+    def total(qq):
+        return (fk_score.dh_polyharmonic_multi_score(qq, sup, W, spec)
+                * mix[None, :]).sum()
+
+    v, g = jax.value_and_grad(total)(q)
+
+    def ref_total(qq):
+        pts = robot.fkine(qq, flat=True)
+        return sum(float(mix[c]) * _poly_score_xla(pts, sup, W[:, c]).sum()
+                   for c in range(C))
+
+    ref_v = ref_total(q)
+    ref_g = jax.grad(ref_total)(q)
+    assert abs(float(v) - float(ref_v)) / (abs(float(ref_v)) + 1e-9) < 2e-2
+    denom = np.abs(np.asarray(ref_g)).max() + 1e-9
+    assert np.abs(np.asarray(g) - np.asarray(ref_g)).max() / denom < 5e-2
