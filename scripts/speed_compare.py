@@ -62,11 +62,179 @@ def build_world(env_name, dof, link_length, num_train, seed,
     return robot, obs, checker
 
 
-def validate(robot, obs, solution, num_sub=8):
-    """Exact validation of an optimized path (ref :431-454)."""
+# -- env families -------------------------------------------------------------
+# The reference's experiment design spans env families beyond the planar
+# arms (speed_compare.py:355-424 sweeps per-env configs; the SE2/SE3
+# worlds live in manual_trajopt_se2/se3.py and 3d_trajopt.py). Each
+# family returns the same bundle so every method/repair/corridor-AL
+# stage below is family-agnostic:
+#   robot        — .limits + .fkine (what the optimizer cores use)
+#   checker      — trained proxy (DiffCo API: poly_score)
+#   score_fns(ck)— proxy/gt score closures for a given proxy
+#   gt_col(q)    — compiled exact collision [B] bool (validation/planner)
+#   base_dataset — (cfgs, labels, dists) numpy, for corridor retraining
+#   retrain(...) — rebuilds the SAME proxy on a widened dataset
+#   margin       — family default safety margin (workspace units differ:
+#                  planar arms live in a ~7-unit box, the Baxter scene
+#                  in meters)
+
+def _planar_bundle(env_name, dof, args):
+    link_length = args.link_length * 2 / dof
+    robot, obs, checker, base = build_world(
+        env_name, dof, link_length, args.num_train, args.seed,
+        fit_target=args.fit_target, return_dataset=True)
+
+    def score_fns(ck):
+        return make_score_fns(robot, obs, ck)
+
+    def retrain(cfgs, labels, dists):
+        ck = DiffCo(kernel_func=kernels.RQKernel(10.0))
+        ck.train(jnp.asarray(cfgs), jnp.asarray(labels),
+                 max_iteration=3 * len(cfgs),
+                 distance=jnp.asarray(dists))
+        ck.fit_poly(kernels.Polyharmonic(1, 1), target=args.fit_target)
+        return ck
+
+    return {'robot': robot, 'checker': checker, 'score_fns': score_fns,
+            'gt_col': lambda q: planar_robot_collision(robot, obs, q),
+            'base_dataset': base, 'retrain': retrain,
+            'margin': args.safety_margin}
+
+
+def _se2_bundle(env_name, dof, args):
+    """SE(2) rigid body (the trajopt_se2.py L-shape world; ref
+    manual_trajopt_se2.py): dof is always 3 (x, y, theta)."""
+    from diffco_tpu.geometry import rigid_body_signed_dist
+    from diffco_tpu.robots import RigidPlanarBody
+    body = [((0.0, 0.0), (1.0, 0.25)), ((0.75, 0.0), (0.25, 0.75))]
+    parts = [(p_[0], p_[1]) for p_ in body]
+    robot = RigidPlanarBody([('rect', c, (h[0] * 2, h[1] * 2))
+                             for c, h in body],
+                            limits=[[-8, 8], [-8, 8], [-np.pi, np.pi]])
+    obs = Obstacles2D.from_obstacle_list([
+        ('rect', (4, 4), (3, 3), 0),
+        ('circle', (-4, -4), 2.0, 1),
+        ('rect', (-4, 4), (2, 4), 1),
+    ])
+
+    @jax.jit
+    def gt_sd(q):
+        return jnp.max(rigid_body_signed_dist(parts, obs, q), axis=-1)
+
+    key = jax.random.PRNGKey(args.seed)
+    cfgs = robot.rand_configs(args.num_train, key)
+    dists = gt_sd(cfgs)
+    labels = (dists > 0) * 2.0 - 1.0
+
+    def retrain(c, l, d):
+        ck = DiffCo(kernel_func=kernels.RQKernel(1.0))
+        ck.train(jnp.asarray(c), jnp.asarray(l),
+                 max_iteration=3 * len(c), distance=jnp.asarray(d))
+        ck.fit_poly(kernels.Polyharmonic(1, 1), target=args.fit_target)
+        return ck
+
+    checker = retrain(cfgs, labels, dists)
+
+    def score_fns(ck):
+        def proxy_dist(q):
+            return ck.poly_score(q).reshape(-1)
+
+        def proxy_binary(q):
+            return (ck.poly_score(q).reshape(-1) > 0).astype(jnp.float32)
+
+        return {'proxy_dist': proxy_dist, 'proxy_binary': proxy_binary,
+                'gt_dist': gt_sd}
+
+    return {'robot': robot, 'checker': checker, 'score_fns': score_fns,
+            'gt_col': lambda q: gt_sd(q) > 0,
+            'base_dataset': (np.asarray(cfgs), np.asarray(labels),
+                             np.asarray(dists)),
+            'retrain': retrain, 'margin': -0.2}
+
+
+def _baxter_bundle(env_name, dof, args):
+    """7-DOF Baxter arm vs a 3-primitive 3D scene (the
+    baxter_trajopt_benchmark.py world; ref scripts/3d_trajopt.py):
+    capsule-chain exact geometry, FK-transformed proxy."""
+    from diffco_tpu.robots import BaxterLeftArmFK
+    from diffco_tpu.robots.capsule_chain import CapsuleChainCollision
+    from diffco_tpu.envs import ShapeEnv
+
+    def T(t):
+        m = np.eye(4)
+        m[:3, 3] = t
+        return m
+
+    robot = BaxterLeftArmFK()
+    env = ShapeEnv(shapes={
+        'table': {'type': 'Box', 'params': {'extents': [0.8, 0.8, 0.05]},
+                  'transform': T([0.7, 0.0, -0.1])},
+        'pole': {'type': 'Cylinder',
+                 'params': {'radius': 0.1, 'height': 1.2},
+                 'transform': T([0.6, 0.3, 0.5])},
+        'ball': {'type': 'Sphere', 'params': {'radius': 0.15},
+                 'transform': T([0.4, -0.35, 0.3])},
+    })
+    gt = CapsuleChainCollision(robot, link_radius=0.07, per_seg=4)
+
+    def gt_sd(q):
+        return gt.signed_dist(q, env)
+
+    key = jax.random.PRNGKey(args.seed)
+    cfgs = robot.rand_configs(args.num_train, key)
+    dists = gt_sd(cfgs)
+    labels = (dists > 0) * 2.0 - 1.0
+
+    def retrain(c, l, d):
+        ck = DiffCo(kernel_func=kernels.RQKernel(10.0),
+                    transform=robot.fkine)
+        ck.train(jnp.asarray(c), jnp.asarray(l),
+                 max_iteration=3 * len(c), distance=jnp.asarray(d))
+        ck.fit_poly(kernels.Polyharmonic(1, 1), target=args.fit_target)
+        return ck
+
+    checker = retrain(cfgs, labels, dists)
+
+    def score_fns(ck):
+        def proxy_dist(q):
+            return ck.poly_score(q).reshape(-1)
+
+        def proxy_binary(q):
+            return (ck.poly_score(q).reshape(-1) > 0).astype(jnp.float32)
+
+        return {'proxy_dist': proxy_dist, 'proxy_binary': proxy_binary,
+                'gt_dist': gt_sd}
+
+    # margins in METERS here (scene scale ~1 m vs the planar arms'
+    # ~7-unit box): the proxy is distance-fitted on the capsule signed
+    # distance, so -0.05 demands ~5 cm clearance
+    return {'robot': robot, 'checker': checker, 'score_fns': score_fns,
+            'gt_col': lambda q: gt_sd(q) > 0,
+            'base_dataset': (np.asarray(cfgs), np.asarray(labels),
+                             np.asarray(dists)),
+            'retrain': retrain, 'margin': -0.05}
+
+
+def build_env_bundle(env_name, dof, args):
+    if env_name.startswith('se2'):
+        return _se2_bundle(env_name, 3, args)
+    if env_name.startswith('baxter'):
+        return _baxter_bundle(env_name, 7, args)
+    return _planar_bundle(env_name, dof, args)
+
+
+def validate_gt(gt_col, solution, num_sub=8):
+    """Exact validation of an optimized path (ref :431-454); generic over
+    the env family via its compiled collision closure."""
     dense = utils.dense_path(jnp.asarray(solution, jnp.float32), num_sub)
-    return not bool(np.asarray(
-        planar_robot_collision(robot, obs, dense)).any())
+    return not bool(np.asarray(gt_col(dense)).any())
+
+
+def validate(robot, obs, solution, num_sub=8):
+    """Planar-family convenience wrapper (kept for external callers,
+    e.g. scripts/reference_flag_parity.py)."""
+    return validate_gt(lambda q: planar_robot_collision(robot, obs, q),
+                       solution, num_sub)
 
 
 def make_score_fns(robot, obs, checker):
@@ -110,26 +278,31 @@ def repair(robot, fns, solution, options):
         jnp.asarray(solution[-1]), opts)
 
 
-def plan_gt_path(robot, obs, start, target, seed, max_iters=30000):
+def plan_gt_path(robot, gt_col, start, target, seed, max_iters=30000):
     """RRT-Connect on the EXACT geometry for the repair escalation. One
     budget-exhausted retry with a fresh seed before giving up: RRT-Connect
     is probabilistically complete but narrow passages (7d_narrow's 300-box
     wall) can exhaust a single run's budget. Returns [N, dof] or None."""
     from diffco_tpu.planning import MotionPlanner
 
-    for attempt in range(2):
+    for attempt in range(3):
         planner = MotionPlanner(
-            robot, lambda q: planar_robot_collision(robot, obs, q),
+            robot, gt_col,
             step_size=0.5, seed=int(seed) + 7919 * attempt)
         path = planner.plan(np.asarray(start, np.float64),
                             np.asarray(target, np.float64),
                             max_iters=max_iters)
-        if path is not None:
+        # re-check at the VALIDATION density (8/segment): the planner
+        # motion-checks at its own step resolution, and a plan that
+        # threads between its own samples would poison every downstream
+        # consumer (corridor-AL inits, RRT fallback) — measured once on
+        # 7d_narrow (matrix record: raw fallback failed validate_gt)
+        if path is not None and validate_gt(gt_col, path):
             return path
     return None
 
 
-def repair_rrt(robot, obs, fns, solution, path, options):
+def repair_rrt(robot, fns, solution, path, options):
     """Escalated repair for paths the GT-Adam repair cannot fix: smooth a
     ground-truth RRT-Connect path with GT-Adam. The Adam repair's
     straight-line and random restarts stay in the start's free component —
@@ -204,20 +377,17 @@ def corridor_band_samples(paths, limits, rng, n_total=CORRIDOR_BUCKET,
                    limits[:, 0], limits[:, 1]).astype(np.float32)
 
 
-def build_corridor_checker(robot, base_dataset, samples, gt_label_fn,
-                           fit_target='dist'):
-    """Retrain the proxy on base + corridor samples (GT-labeled)."""
+def build_corridor_checker(base_dataset, samples, gt_label_fn, retrain):
+    """Retrain the proxy on base + corridor samples (GT-labeled).
+    ``retrain`` is the env family's training closure — it rebuilds the
+    SAME proxy (kernel, transform, fit target) the family's build step
+    trained, just on the widened dataset."""
     cfgs, labels, dists = base_dataset
     sd = np.asarray(gt_label_fn(jnp.asarray(samples)))  # [N] signed dist
     new_cfgs = np.concatenate([cfgs, samples], axis=0)
     new_labels = np.concatenate([labels, (sd > 0) * 2.0 - 1.0], axis=0)
     new_dists = np.concatenate([dists, sd], axis=0)
-    ck = DiffCo(kernel_func=kernels.RQKernel(10.0))
-    ck.train(jnp.asarray(new_cfgs), jnp.asarray(new_labels),
-             max_iteration=3 * len(new_cfgs),
-             distance=jnp.asarray(new_dists))
-    ck.fit_poly(kernels.Polyharmonic(1, 1), target=fit_target)
-    return ck
+    return retrain(new_cfgs, new_labels, new_dists)
 
 
 def run_method(method, robot, checker, fns, start, target, options):
@@ -340,18 +510,18 @@ def main():
     for env_spec in args.envs:
         env_name, _, dof_s = env_spec.partition(':')
         dof = int(dof_s) if dof_s else args.dof
-        # longer chains need shorter links to fit the same workspace
-        link_length = args.link_length * 2 / dof
-        robot, obs, checker, base_dataset = build_world(
-            env_name, dof, link_length, args.num_train, args.seed,
-            fit_target=args.fit_target, return_dataset=True)
-        fns = make_score_fns(robot, obs, checker)
+        bundle = build_env_bundle(env_name, dof, args)
+        robot = bundle['robot']
+        checker = bundle['checker']
+        base_dataset = bundle['base_dataset']
+        gt_col = bundle['gt_col']
+        dof = int(np.asarray(robot.limits).shape[0])
+        fns = bundle['score_fns'](checker)
         # corridor-AL helpers: ONE jitted labeler per env (eager geometry
         # costs a device dispatch per op — design invariant), one RNG, and
         # a per-problem cache of corridor-retrained proxies shared by all
         # methods that fail that problem
-        gt_label_fn = jax.jit(
-            lambda q: planar_robot_signed_dist(robot, obs, q).max(axis=-1))
+        gt_label_fn = fns['gt_dist']
         limits_np = np.asarray(robot.limits, np.float64)
         rng_al = np.random.RandomState(args.seed + 31337)
         corridor_worlds = {}
@@ -365,7 +535,7 @@ def main():
             # training point
             key = jax.random.PRNGKey(args.seed + 7)
             q = robot.rand_configs(512, key)
-            free = ~np.asarray(planar_robot_collision(robot, obs, q))
+            free = ~np.asarray(gt_col(q))
             idx = np.where(free)[0]
             if len(idx) < 2 * args.num_problems:
                 raise SystemExit(
@@ -387,7 +557,7 @@ def main():
         options = {'N_WAYPOINTS': args.waypoints,
                    'NUM_RE_TRIALS': args.trials, 'MAXITER': args.maxiter,
                    'history': False,
-                   'safety_margin': args.safety_margin,
+                   'safety_margin': bundle['margin'],
                    'dense_sub': 3,
                    'max_speed': 2.0, 'seed': args.seed}
         # GT plans for the repair escalation, computed lazily ONCE per
@@ -402,19 +572,19 @@ def main():
             for pi, (s, t) in enumerate(pairs):
                 rec = run_method(method, robot, checker, fns, s, t,
                                  {**options, 'seed': args.seed + pi})
-                rec['valid'] = validate(robot, obs,
+                rec['valid'] = validate_gt(gt_col,
                                         np.asarray(rec['solution']))
                 if not rec['valid']:
                     t0 = time.time()
                     fixed = repair(robot, fns, np.asarray(rec['solution']),
                                    options)
-                    ok = validate(robot, obs, np.asarray(fixed['solution']))
+                    ok = validate_gt(gt_col, np.asarray(fixed['solution']))
                     if not ok:
                         # topological failure: get a GT plan through the
                         # corridor (computed once per problem, shared)
                         if pi not in gt_plans:
                             gt_plans[pi] = plan_gt_path(
-                                robot, obs, s, t, args.seed + pi)
+                                robot, gt_col, s, t, args.seed + pi)
                     if (not ok and method in PROXY_METHODS
                             and gt_plans[pi] is not None):
                         # corridor-targeted active learning: retrain the
@@ -434,26 +604,37 @@ def main():
                                     smp = corridor_band_samples(
                                         [gt_plans[pi]], limits_np, rng_al)
                                     ck2 = build_corridor_checker(
-                                        robot, base_dataset, smp,
-                                        gt_label_fn, args.fit_target)
+                                        base_dataset, smp, gt_label_fn,
+                                        bundle['retrain'])
                                     corridor_worlds[pi] = (
-                                        ck2, make_score_fns(robot, obs,
-                                                            ck2))
+                                        ck2, bundle['score_fns'](ck2))
                                 ck2, fns2 = corridor_worlds[pi]
                             else:
                                 smp = corridor_band_samples(
                                     [gt_plans[pi]] + failed_paths,
                                     limits_np, rng_al)
                                 ck2 = build_corridor_checker(
-                                    robot, base_dataset, smp, gt_label_fn,
-                                    args.fit_target)
-                                fns2 = make_score_fns(robot, obs, ck2)
+                                    base_dataset, smp, gt_label_fn,
+                                    bundle['retrain'])
+                                fns2 = bundle['score_fns'](ck2)
+                            # corridor re-run: the narrow passage is by
+                            # definition tighter than the env's default
+                            # clearance — demanding the full margin there
+                            # is infeasible (measured: AL re-runs at -0.3
+                            # failed 4/4 on 7d_narrow, the optimizer
+                            # pushes the path back out of the corridor).
+                            # Use the repair stage's clearance and its
+                            # validation-density collision term instead.
                             rec2 = run_method(
                                 method, robot, ck2, fns2, s, t,
                                 {**options, 'seed': args.seed + pi,
+                                 'safety_margin': max(
+                                     -0.05, options['safety_margin']),
+                                 'dense_sub': max(
+                                     8, options.get('dense_sub', 3)),
                                  'init_solution': jnp.asarray(
                                      gt_plans[pi], jnp.float32)})
-                            ok = validate(robot, obs,
+                            ok = validate_gt(gt_col,
                                           np.asarray(rec2['solution']))
                             if not ok:
                                 failed_paths.append(
@@ -466,19 +647,19 @@ def main():
                     elif not ok:
                         fixed2 = None
                         if gt_plans[pi] is not None:
-                            fixed2 = repair_rrt(robot, obs, fns,
+                            fixed2 = repair_rrt(robot, fns,
                                                 np.asarray(rec['solution']),
                                                 gt_plans[pi],
                                                 {**options,
                                                  'seed': args.seed + pi})
                         if fixed2 is not None:
-                            ok2 = validate(robot, obs,
+                            ok2 = validate_gt(gt_col,
                                            np.asarray(fixed2['solution']))
                             if not ok2 and fixed2.get('rrt_path') is not None:
                                 # GT-Adam re-broke it; the raw densified
                                 # RRT path is motion-checked by the planner
                                 fixed2['solution'] = fixed2['rrt_path']
-                                ok2 = validate(robot, obs,
+                                ok2 = validate_gt(gt_col,
                                                np.asarray(fixed2['solution']))
                                 if ok2:
                                     fixed2['rrt_fallback'] = True
@@ -492,16 +673,16 @@ def main():
                         # corridor AL failed twice: fall back to the RRT
                         # escalation so the row still records a valid path
                         # (the corridor_al.valid=False key records the miss)
-                        fixed2 = repair_rrt(robot, obs, fns,
+                        fixed2 = repair_rrt(robot, fns,
                                             np.asarray(rec['solution']),
                                             gt_plans[pi],
                                             {**options,
                                              'seed': args.seed + pi})
-                        ok2 = validate(robot, obs,
+                        ok2 = validate_gt(gt_col,
                                        np.asarray(fixed2['solution']))
                         if not ok2 and fixed2.get('rrt_path') is not None:
                             fixed2['solution'] = fixed2['rrt_path']
-                            ok2 = validate(robot, obs,
+                            ok2 = validate_gt(gt_col,
                                            np.asarray(fixed2['solution']))
                             if ok2:
                                 rec['rrt_fallback'] = True

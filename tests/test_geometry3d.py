@@ -121,3 +121,35 @@ def test_rigid_body_2d_signed_dist_grad():
 
     g = jax.grad(f)(jnp.asarray([0.5, 0.2, 0.3]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_generated_mesh_assets_watertight():
+    """The procedural SE3 body meshes (scripts/generate_mesh_assets.py,
+    mount-free stand-ins for the reference's object_meshes assets) must
+    be closed, consistently-oriented surfaces: every directed edge
+    appears exactly once and its reverse exactly once. The torus must
+    also keep its hole through sphere decomposition."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..',
+                                      'scripts'))
+    from generate_mesh_assets import torus_mesh, lbracket_mesh
+
+    for name, (v, f) in [('torus', torus_mesh()),
+                         ('lbracket', lbracket_mesh())]:
+        edges = {}
+        for tri in f:
+            for a, b in ((tri[0], tri[1]), (tri[1], tri[2]),
+                         (tri[2], tri[0])):
+                key = (int(a), int(b))
+                assert key not in edges, f'{name}: duplicated edge {key}'
+                edges[key] = True
+        for a, b in edges:
+            assert (b, a) in edges, f'{name}: boundary edge ({a},{b})'
+
+    v, f = torus_mesh()
+    c, r = spheres_from_mesh(v, f, n_spheres=16)
+    assert np.all(r > 0)
+    # no covering sphere may swallow the hole: centers stay on the ring
+    ring_d = np.linalg.norm(np.asarray(c)[:, :2], axis=1)
+    assert ring_d.min() > 0.2
