@@ -331,12 +331,151 @@ def _dhpms_bwd(spec, res, g):
 dh_polyharmonic_multi_score.defvjp(_dhpms_fwd, _dhpms_bwd)
 
 
+def _make_chain_multi_score_kernel(cs, n_dofs, f_pad, n_class,
+                                   use_bf16: bool):
+    """General ChainSpec variant of the multi-class kernel: shared chain
+    FK + distance/rsqrt sweep, per-class score/su rows, per-class
+    moving-ancestor backward (trees don't admit the DH suffix-sum
+    ordering — same as _make_chain_score_kernel)."""
+    from ..robots.fk_jvp import eval_chain, _REVOLUTE
+    dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    fp1 = f_pad + 1
+
+    def kernel(qT_ref, s_ref, w_ref, score_ref, dqT_ref):
+        q_rows = [qT_ref[i:i + 1, :] for i in range(n_dofs)]
+        zb = jnp.zeros_like(q_rows[0])
+        joints, pts = eval_chain(cs, q_rows, zb)
+        comps = []
+        for p in pts:
+            comps.extend(p)
+        zero_row = jnp.zeros_like(comps[0])
+        comps.extend([zero_row] * (f_pad - len(comps)))
+        xT = jnp.concatenate(comps, axis=0)
+        s = s_ref[:].astype(jnp.float32)
+        W = w_ref[:].astype(jnp.float32)
+        x2 = jnp.sum(xT * xT, axis=0, keepdims=True)
+        s2 = jnp.sum(s * s, axis=1, keepdims=True)
+        sx = jax.lax.dot_general(
+            s.astype(dt), xT.astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(x2 + s2 - 2.0 * sx, 0.0) + 1e-12
+        rinv = jax.lax.rsqrt(d2)
+        r = d2 * rinv
+        score_ref[:] = jax.lax.dot_general(
+            W.astype(dt), r.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rinv_dt = rinv.astype(dt)
+        swv = jnp.concatenate(
+            [jnp.concatenate([s * W[:, c:c + 1], W[:, c:c + 1]], axis=1)
+             for c in range(n_class)], axis=1)
+        su_all = jax.lax.dot_general(
+            swv.astype(dt), rinv_dt,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for c in range(n_class):
+            su = su_all[c * fp1:c * fp1 + f_pad]
+            rowsum = su_all[c * fp1 + f_pad:c * fp1 + fp1]
+
+            def g_comp(row, su=su, rowsum=rowsum):
+                return xT[row:row + 1, :] * rowsum - su[row:row + 1, :]
+
+            dq_acc = [jnp.zeros_like(rowsum) for _ in range(n_dofs)]
+            for k, chain in enumerate(cs.point_chains):
+                g = (g_comp(3 * k), g_comp(3 * k + 1), g_comp(3 * k + 2))
+                p = pts[k]
+                for i in chain:
+                    z, o = joints[i]
+                    if cs.jtype[i] == _REVOLUTE:
+                        rx = (p[0] - o[0], p[1] - o[1], p[2] - o[2])
+                        cx, cy, cz = _cross(z, rx)
+                        val = cx * g[0] + cy * g[1] + cz * g[2]
+                    else:  # PRISMATIC
+                        val = z[0] * g[0] + z[1] * g[1] + z[2] * g[2]
+                    d = cs.dof_idx[i]
+                    dq_acc[d] = dq_acc[d] + cs.m_mult[i] * val
+            for d in range(n_dofs):
+                dqT_ref[c * n_dofs + d:c * n_dofs + d + 1, :] = dq_acc[d]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('cs', 'use_bf16'))
+def _chain_multi_score_grad_pallas(q, s, W, cs, use_bf16=True):
+    """q [B, D], W [S, C] -> (score [B, C], dscore_c/dq [C, B, D])."""
+    n_dofs = cs.n_dofs
+    F = 3 * len(cs.point_specs)
+    f_pad = _round_up(F, 8)
+    B = q.shape[0]
+    S = s.shape[0]
+    C = W.shape[1]
+    TB = _tile_b(S)
+    Bp = _round_up(max(B, 128), TB)
+    qT = q.T
+    if Bp != B:
+        qT = jnp.zeros((n_dofs, Bp), q.dtype).at[:, :B].set(qT)
+    sp = s if s.shape[1] == f_pad else jnp.concatenate(
+        [s, jnp.zeros((S, f_pad - s.shape[1]), s.dtype)], axis=1)
+    kernel = _make_chain_multi_score_kernel(cs, n_dofs, f_pad, C, use_bf16)
+    score, dqT = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((C, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((C * n_dofs, Bp), jnp.float32)),
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((n_dofs, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, f_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((C, TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((C * n_dofs, TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 + 2 * C) * Bp * S * f_pad + 2000 * C * Bp,
+            bytes_accessed=Bp * (n_dofs * 8 + 4 * C) + S * f_pad * 4,
+            transcendentals=Bp * S + 2 * n_dofs * Bp),
+        interpret=_interpret(),
+    )(qT, sp, W)
+    return (score[:, :B].T,
+            dqT.reshape(C, n_dofs, Bp)[:, :, :B].transpose(0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chain_polyharmonic_multi_score(q, supports, W, cs):
+    """URDF-chain counterpart of dh_polyharmonic_multi_score, [B, C].
+    Same differentiation contract: ``q`` only, forward mode raises."""
+    score, _ = _chain_multi_score_grad_pallas(q, supports, W, cs)
+    return score
+
+
+def _cpms_fwd(q, supports, W, cs):
+    score, dq = _chain_multi_score_grad_pallas(q, supports, W, cs)
+    return score, (dq, supports, W)
+
+
+def _cpms_bwd(cs, res, g):
+    dq, supports, W = res
+    return (jnp.einsum('bc,cbj->bj', g, dq),
+            jnp.zeros_like(supports), jnp.zeros_like(W))
+
+
+chain_polyharmonic_multi_score.defvjp(_cpms_fwd, _cpms_bwd)
+
+
 def fk_polyharmonic_multi_score_auto(q, robot, supports, W,
                                      valid_mask=None,
                                      epsilon: float = 1.0):
     """Multi-class counterpart of fk_polyharmonic_score_auto: route
     ``scores(fkine(q)) [B, C]`` through the fused multi-class kernel
-    when available, else FK + the XLA kernel-matvec formulation."""
+    when available (DH or URDF chain), else FK + the XLA kernel-matvec
+    formulation."""
     if valid_mask is not None:
         W = W * valid_mask.astype(W.dtype)[:, None]
     if epsilon != 1.0:
@@ -347,6 +486,12 @@ def fk_polyharmonic_multi_score_auto(q, robot, supports, W,
             spec = robot_spec(robot)
             robot._dh_spec_cache = spec
         return dh_polyharmonic_multi_score(q, supports, W, spec)
+    if chain_score_grad_available(robot, q.shape[0]):
+        cs = getattr(robot, '_chain_statics_cache', None)
+        if cs is None:
+            cs = robot_chain_statics(robot)
+            robot._chain_statics_cache = cs
+        return chain_polyharmonic_multi_score(q, supports, W, cs)
     pts = robot.fkine(q)
     pts = pts.reshape(q.shape[0], -1)
     d2 = (jnp.sum(pts * pts, axis=1, keepdims=True)

@@ -315,3 +315,41 @@ def test_multi_class_custom_vjp_route(key):
     assert abs(float(v) - float(ref_v)) / (abs(float(ref_v)) + 1e-9) < 2e-2
     denom = np.abs(np.asarray(ref_g)).max() + 1e-9
     assert np.abs(np.asarray(g) - np.asarray(ref_g)).max() / denom < 5e-2
+
+
+def test_chain_multi_class_fused_matches_xla(key):
+    """URDF-chain multi-class kernel: per-class scores + cotangent-mixed
+    VJP against the XLA formulation."""
+    robot = _urdf('panda_simple.urdf', setup_acm=False, link_spheres=2)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    S, B, C = 32, 160, 2
+    q_sup = robot.rand_configs(S, k1)
+    sup = robot.fkine(q_sup).reshape(S, -1)
+    W = jax.random.normal(k2, (S, C)) * 0.05
+    q = robot.rand_configs(B, k3)
+    mix = jax.random.normal(k4, (C,))
+    cs = fk_score.robot_chain_statics(robot)
+    score, dq = fk_score._chain_multi_score_grad_pallas(q, sup, W, cs,
+                                                        use_bf16=False)
+    assert score.shape == (B, C) and dq.shape == (C, B, q.shape[1])
+    for c in range(C):
+        ref = _poly_score_xla(robot.fkine(q).reshape(B, -1),
+                              sup, W[:, c]).reshape(-1)
+        np.testing.assert_allclose(np.asarray(score[:, c]),
+                                   np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def total(qq):
+        return (fk_score.chain_polyharmonic_multi_score(qq, sup, W, cs)
+                * mix[None, :]).sum()
+
+    def ref_total(qq):
+        pts = robot.fkine(qq).reshape(qq.shape[0], -1)
+        return sum(float(mix[c]) * _poly_score_xla(pts, sup, W[:, c]).sum()
+                   for c in range(C))
+
+    v, g = jax.value_and_grad(total)(q)
+    ref_v = ref_total(q)
+    ref_g = jax.grad(ref_total)(q)
+    assert abs(float(v) - float(ref_v)) / (abs(float(ref_v)) + 1e-9) < 2e-2
+    denom = np.abs(np.asarray(ref_g)).max() + 1e-9
+    assert np.abs(np.asarray(g) - np.asarray(ref_g)).max() / denom < 5e-2
