@@ -613,6 +613,7 @@ def main():
                         failed_paths = [np.asarray(rec['solution'])]
                         rounds = 0
                         rec2 = None
+                        wholesale = False
                         while rounds < 2 and not ok:
                             rounds += 1
                             if rounds == 1:
@@ -664,23 +665,33 @@ def main():
                                     gt_plans[pi], jnp.float32)}
                             rec2 = run_method(method, robot, ck2, fns2,
                                               s, t, al_opts)
-                            ok = validate_gt(gt_col,
-                                          np.asarray(rec2['solution']))
-                            if not ok:
+                            sol2 = np.asarray(rec2['solution'])
+                            dense2 = utils.dense_path(
+                                jnp.asarray(sol2, jnp.float32), 8)
+                            frac_bad = float(np.mean(
+                                np.asarray(gt_col(dense2))))
+                            ok = frac_bad == 0.0
+                            wholesale = frac_bad > 0.3
+                            if not ok and not wholesale:
                                 # near-miss polish: the AL path found
                                 # the corridor homotopy class; GT-Adam
                                 # clears residual pokes
-                                rec3 = repair(robot, fns,
-                                              np.asarray(rec2['solution']),
-                                              al_opts)
+                                rec3 = repair(robot, fns, sol2, al_opts)
                                 if validate_gt(gt_col,
                                                np.asarray(rec3['solution'])):
                                     rec2, ok = rec3, True
                             if not ok:
-                                failed_paths.append(
-                                    np.asarray(rec2['solution']))
+                                failed_paths.append(sol2)
+                            if wholesale:
+                                # measured futility gate (RESULTS.md
+                                # corridor-AL study): a >30%-colliding
+                                # re-run means the retrain missed the
+                                # wall entirely — the round-2 retrain
+                                # and the polish were both nulls there
+                                break
                         rec['corridor_al'] = {
                             'rounds': rounds, 'valid': bool(ok),
+                            'wholesale': bool(wholesale),
                             'time': time.time() - al_t0}
                         if ok:
                             fixed = rec2
