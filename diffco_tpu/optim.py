@@ -568,7 +568,12 @@ def al_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     n_waypoints = int(o['N_WAYPOINTS'])
     key = jax.random.PRNGKey(int(o['seed']))
     if 'init_solution' in o and o['init_solution'] is not None:
-        init_first = jnp.asarray(o['init_solution'], jnp.float32)
+        # arbitrary-length inits (planner paths) resample to the
+        # waypoint grid, same as every other optimizer path (adam :300,
+        # scipy paths :694/:832/:1013) — this was the one core that
+        # crashed on a 70-waypoint RRT init at N_WAYPOINTS=60
+        init_first = jnp.asarray(
+            _resample_init(o['init_solution'], n_waypoints), jnp.float32)
     else:
         init_first = jnp.full((n_waypoints, start_cfg.shape[-1]), jnp.nan,
                               jnp.float32)
