@@ -891,6 +891,16 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     analytic constraint Hessian with scipy's quasi-Newton update,
     removing the Hessian dispatches entirely (~30% fewer round trips,
     usually similar success rate).
+
+    ``options['free_waypoints']=K`` (default: N_WAYPOINTS) optimizes only
+    K control waypoints; the returned path is still the N_WAYPOINTS-row
+    linear interpolation of those controls and the collision/limit
+    constraints are evaluated on the SAME densified path as the full
+    problem (identical feasibility semantics, fewer decision variables).
+    On 7-DOF envs the wall time is dominated by the [n_free, n_free]
+    constraint Hessian and scipy's dense interior-point algebra, both
+    superlinear in n_free — K=8 cuts n_free 3x (study:
+    benchmarks/trustconstr_free_waypoints.json).
     """
     from scipy.optimize import minimize, NonlinearConstraint, BFGS
     o = _default_options(options)
@@ -907,12 +917,33 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
 
     use_max_form = str(o.get('constraint_form', 'max')) == 'max'
 
+    # coarse-control parameterization: K control waypoints, linearly
+    # interpolated to the full n_waypoints rows by a FIXED matrix W
+    # (host-precomputed; W rows at t=0/1 are exact so endpoints hold).
+    # K == n_waypoints makes W the identity (the default, full problem).
+    k_ctrl = int(o.get('free_waypoints') or n_waypoints)
+    k_ctrl = max(3, min(k_ctrl, n_waypoints))
+    tgrid = np.linspace(0.0, k_ctrl - 1.0, n_waypoints)
+    jseg = np.minimum(tgrid.astype(int), k_ctrl - 2)
+    frac = tgrid - jseg
+    W_np = np.zeros((n_waypoints, k_ctrl))
+    W_np[np.arange(n_waypoints), jseg] = 1.0 - frac
+    W_np[np.arange(n_waypoints), jseg + 1] += frac
+    # control-row indices used to subsample an [n_waypoints, dof] init
+    ctrl_idx = np.round(np.linspace(0, n_waypoints - 1,
+                                    k_ctrl)).astype(int)
+
     def _build(wrap, jdt):
+        W = jnp.asarray(W_np, jdt)
+
         def assemble(x):
             x = jnp.asarray(x, jdt).reshape(-1, dof)
             s = jnp.asarray(start_np, jdt)[None]
             t = jnp.asarray(target_np, jdt)[None]
-            return jnp.concatenate([s, x, t], axis=0)
+            ctrl = jnp.concatenate([s, x, t], axis=0)
+            if k_ctrl == n_waypoints:
+                return ctrl
+            return jnp.matmul(W, ctrl, precision='highest')
 
         def con_collision(x):
             """Per-segment collision constraint, >= 0 required.
@@ -958,7 +989,7 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
                 lambda x, v: jnp.dot(con_collision(x), v))),
         }
 
-    n_free = (n_waypoints - 2) * dof
+    n_free = (k_ctrl - 2) * dof
     wrap, jdt = _scipy_exec_backend(o)
     fns = _build(wrap, jdt)
     if jdt == jnp.float64:
@@ -1024,7 +1055,7 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
         init_path[0], init_path[-1] = start_np, target_np
         res = minimize(
             lambda x: _cost_bundle(x)['f'],
-            init_path[1:-1].reshape(-1),
+            init_path[ctrl_idx][1:-1].reshape(-1),
             jac=lambda x: _cost_bundle(x)['g'],
             method='trust-constr',
             constraints=[
@@ -1050,9 +1081,12 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
     # snapshot BEFORE the post-hoc feasibility _bundle (it counts when
     # solution_rec.x is not the memoized x) — during-optimization semantics
     cnt_final = cnt_check
-    sol = np.concatenate([start_np[None],
-                          solution_rec.x.reshape(-1, dof),
-                          target_np[None]])
+    ctrl_sol = np.concatenate([start_np[None],
+                               solution_rec.x.reshape(-1, dof),
+                               target_np[None]])
+    # interpolate the control solution back to the full waypoint count
+    # (identity when free_waypoints is unset)
+    sol = W_np @ ctrl_sol
     # constraint satisfaction at the returned solution, decoupled from
     # scipy's convergence flag (see givengrad_traj_optimize); tolerance
     # matches the on-device success criterion (1e-4)

@@ -363,6 +363,70 @@ class Perceptron:
 
     def __init__(self):
         self.support_points = None
+        # a jax.sharding.Mesh scales training out over devices (subclasses
+        # accept it as a constructor arg); the _mesh_* helpers below are
+        # shared by every trainer (scalar, multi-class, vector-gain)
+        self.mesh = None
+        self._kernel_jit = None
+
+    # -- mesh plumbing (shared by DiffCo/MultiDiffCo/MultiDimDiffCo) -------
+
+    def _mesh_parts(self, Xt, y, want_replicated=True):
+        """Pad (to the mesh's data-axis size) and place training arrays for
+        a sharded run. Returns (Xt_sharded, Xt_replicated, y_padded, valid)
+        with the padded row count a device multiple; the valid mask keeps
+        padded rows out of the greedy selection. ``want_replicated=False``
+        returns ``Xt_replicated=None`` — the lazy path only needs the
+        sharded rows, and pinning a full [N, F] copy in every device's HBM
+        at exactly the large-N scale the lazy trainer targets would defeat
+        its O(N) memory contract."""
+        from .parallel.sharding import (_pad_to_multiple, shard_batch,
+                                        replicate, data_axis)
+        ax = data_axis(self.mesh)
+        n_dev = self.mesh.shape[ax]
+        N = Xt.shape[0]
+        Xtp, _ = _pad_to_multiple(Xt, n_dev)
+        yp, _ = _pad_to_multiple(y, n_dev)
+        valid = jnp.arange(Xtp.shape[0]) < N
+        Xr = replicate(Xtp, self.mesh) if want_replicated else None
+        return shard_batch(Xtp, self.mesh, ax), Xr, yp, valid, ax
+
+    def _mesh_train_inputs(self, Xt, y, lazy):
+        """Resolve (K, Xt_train, y_train, valid) for train(): row-sharded
+        Gram on the dense path, sharded feature rows on the lazy path,
+        plain Gram/rows without a mesh. Shared by DiffCo.train,
+        MultiDiffCo.train and MultiDimDiffCo.train (identical semantics,
+        one copy)."""
+        if self.mesh is None:
+            K = None if lazy else self.kernel_func(Xt, Xt)
+            return K, Xt, y, None
+        from .parallel.sharding import shard_batch
+        Xs, Xr, yp, valid_full, ax = self._mesh_parts(
+            Xt, y, want_replicated=not lazy)
+        if lazy:
+            return (None, Xs, shard_batch(yp, self.mesh, ax),
+                    shard_batch(valid_full, self.mesh, ax))
+        if self._kernel_jit is None:
+            self._kernel_jit = jax.jit(self.kernel_func)
+        K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
+        return K, Xt, yp, valid_full
+
+    def _mesh_pack_warmstart(self, init_gains, init_hyp, lazy):
+        """Pad + place warm-start vectors for a sharded run: lazy shards
+        both along the row axis; dense replicates the gains (the Gram is
+        already the padded length, so init_hyp needs no extra padding)."""
+        if self.mesh is None:
+            return init_gains, init_hyp
+        from .parallel.sharding import (_pad_to_multiple, shard_batch,
+                                        replicate, data_axis)
+        ax = data_axis(self.mesh)
+        n_dev = self.mesh.shape[ax]
+        init_gains, _ = _pad_to_multiple(init_gains, n_dev)
+        if lazy:
+            init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
+            return (shard_batch(init_gains, self.mesh, ax),
+                    shard_batch(init_hyp, self.mesh, ax))
+        return replicate(init_gains, self.mesh), init_hyp
 
     def score(self, point):
         raise NotImplementedError
@@ -442,62 +506,6 @@ class DiffCo(Perceptron):
     @property
     def valid_supports(self):
         return self.num_valid
-
-    def _mesh_parts(self, Xt, y, want_replicated=True):
-        """Pad (to the mesh's data-axis size) and place training arrays for
-        a sharded run. Returns (Xt_sharded, Xt_replicated, y_padded, valid)
-        with the padded row count a device multiple; the valid mask keeps
-        padded rows out of the greedy selection. ``want_replicated=False``
-        returns ``Xt_replicated=None`` — the lazy path only needs the
-        sharded rows, and pinning a full [N, F] copy in every device's HBM
-        at exactly the large-N scale the lazy trainer targets would defeat
-        its O(N) memory contract."""
-        from .parallel.sharding import (_pad_to_multiple, shard_batch,
-                                        replicate, data_axis)
-        ax = data_axis(self.mesh)
-        n_dev = self.mesh.shape[ax]
-        N = Xt.shape[0]
-        Xtp, _ = _pad_to_multiple(Xt, n_dev)
-        yp, _ = _pad_to_multiple(y, n_dev)
-        valid = jnp.arange(Xtp.shape[0]) < N
-        Xr = replicate(Xtp, self.mesh) if want_replicated else None
-        return shard_batch(Xtp, self.mesh, ax), Xr, yp, valid, ax
-
-    def _mesh_train_inputs(self, Xt, y, lazy):
-        """Resolve (K, Xt_train, y_train, valid) for train(): row-sharded
-        Gram on the dense path, sharded feature rows on the lazy path,
-        plain Gram/rows without a mesh. Shared by DiffCo.train and
-        MultiDiffCo.train (identical semantics, one copy)."""
-        if self.mesh is None:
-            K = None if lazy else self.kernel_func(Xt, Xt)
-            return K, Xt, y, None
-        from .parallel.sharding import shard_batch
-        Xs, Xr, yp, valid_full, ax = self._mesh_parts(
-            Xt, y, want_replicated=not lazy)
-        if lazy:
-            return (None, Xs, shard_batch(yp, self.mesh, ax),
-                    shard_batch(valid_full, self.mesh, ax))
-        if self._kernel_jit is None:
-            self._kernel_jit = jax.jit(self.kernel_func)
-        K = self._kernel_jit(Xs, Xr)     # row-sharded Gram
-        return K, Xt, yp, valid_full
-
-    def _mesh_pack_warmstart(self, init_gains, init_hyp, lazy):
-        """Pad + place warm-start vectors for a sharded run: lazy shards
-        both along the row axis; dense replicates the gains (the Gram is
-        already the padded length, so init_hyp needs no extra padding)."""
-        if self.mesh is None:
-            return init_gains, init_hyp
-        from .parallel.sharding import (_pad_to_multiple, shard_batch,
-                                        replicate, data_axis)
-        ax = data_axis(self.mesh)
-        n_dev = self.mesh.shape[ax]
-        init_gains, _ = _pad_to_multiple(init_gains, n_dev)
-        if lazy:
-            init_hyp, _ = _pad_to_multiple(init_hyp, n_dev)
-            return (shard_batch(init_gains, self.mesh, ax),
-                    shard_batch(init_hyp, self.mesh, ax))
-        return replicate(init_gains, self.mesh), init_hyp
 
     # -- training ---------------------------------------------------------
 
@@ -944,7 +952,8 @@ class MultiDiffCo(DiffCo):
 def multidim_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
                         max_iteration: int,
                         init_gains: Optional[jnp.ndarray] = None,
-                        init_hypothesis: Optional[jnp.ndarray] = None):
+                        init_hypothesis: Optional[jnp.ndarray] = None,
+                        valid_mask: Optional[jnp.ndarray] = None):
     """Vector-gain greedy training (ref MultiDimDiffCo.train_perceptron,
     kernel_perceptrons.py:976-1096).
 
@@ -952,12 +961,16 @@ def multidim_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
     gains: [N, C]; hypothesis h_i = sum_j K[i, j] . g_j. The min-margin
     update uses the rank-1 pseudo-inverse of the diagonal kernel vector:
     delta = (target - h_i) * K_ii / ||K_ii||^2 (ref :1004-1006).
+    ``valid_mask`` (optional, bool [N]) marks real rows; padded rows are
+    never selected (used when K is row-sharded over a mesh).
     """
     N, _, C = K.shape
     y = y.reshape(-1).astype(K.dtype)
     diagK = K[jnp.arange(N), jnp.arange(N)]          # [N, C]
     target = jnp.where(y > 0, jnp.asarray(beta, K.dtype),
                        jnp.asarray(-1.0, K.dtype))
+    valid = (jnp.ones(N, bool) if valid_mask is None
+             else valid_mask.reshape(-1))
 
     def cond(state):
         _, _, it, done = state
@@ -965,7 +978,7 @@ def multidim_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
 
     def body(state):
         gains, hyp, it, _ = state
-        margin = y * hyp
+        margin = jnp.where(valid, y * hyp, jnp.inf)
         min_i = jnp.argmin(margin)
         take_update = margin[min_i] <= 0
         k_ii = diagK[min_i]
@@ -975,7 +988,7 @@ def multidim_train_loop(K: jnp.ndarray, y: jnp.ndarray, beta: float,
         # removal step (ref :1021-1031)
         delta_h = jnp.sum(diagK * gains, axis=-1)           # [N]
         nonzero = jnp.any(gains != 0, axis=-1)
-        modified = y * (hyp - delta_h) * nonzero
+        modified = y * (hyp - delta_h) * nonzero * valid
         max_i = jnp.argmax(modified)
         removable = jnp.logical_and(modified[max_i] > 0,
                                     jnp.sum(nonzero) > 1)
@@ -1007,7 +1020,8 @@ def multidim_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
                              kernel_func, beta: float,
                              max_iteration: int,
                              init_gains: Optional[jnp.ndarray] = None,
-                             init_hypothesis: Optional[jnp.ndarray] = None):
+                             init_hypothesis: Optional[jnp.ndarray] = None,
+                             valid_mask: Optional[jnp.ndarray] = None):
     """Lazy-row variant of :func:`multidim_train_loop` — O(N * C) memory.
 
     The [N, N, C] vector-valued Gram tensor is never materialized: the
@@ -1027,6 +1041,8 @@ def multidim_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
     C = diagK.shape[-1]
     target = jnp.where(y > 0, jnp.asarray(beta, jnp.float32),
                        jnp.asarray(-1.0, jnp.float32))
+    valid = (jnp.ones(N, bool) if valid_mask is None
+             else valid_mask.reshape(-1))
 
     def cond(state):
         _, _, it, done = state
@@ -1034,7 +1050,7 @@ def multidim_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
 
     def body(state):
         gains, hyp, it, _ = state
-        margin = y * hyp
+        margin = jnp.where(valid, y * hyp, jnp.inf)
         min_i = jnp.argmin(margin)
         take_update = margin[min_i] <= 0
         k_ii = diagK[min_i]
@@ -1043,7 +1059,7 @@ def multidim_train_loop_lazy(Xt: jnp.ndarray, y: jnp.ndarray,
 
         delta_h = jnp.sum(diagK * gains, axis=-1)           # [N]
         nonzero = jnp.any(gains != 0, axis=-1)
-        modified = y * (hyp - delta_h) * nonzero
+        modified = y * (hyp - delta_h) * nonzero * valid
         max_i = jnp.argmax(modified)
         removable = jnp.logical_and(modified[max_i] > 0,
                                     jnp.sum(nonzero) > 1)
@@ -1084,10 +1100,11 @@ class MultiDimDiffCo(Perceptron):
     def __init__(self, kernel_func=None, gamma=1, beta=1, transform=None,
                  max_batch_size=None, max_num_supports=None, mesh=None):
         super().__init__()
-        if mesh is not None:
-            raise NotImplementedError(
-                'MultiDimDiffCo does not support mesh-sharded training; '
-                'use DiffCo/MultiDiffCo for multi-chip fits')
+        # mesh-sharded training mirrors DiffCo's: the vector-valued Gram
+        # build is row-sharded (dense path) / feature rows are sharded
+        # (lazy path) and the SAME jitted while_loop runs under GSPMD
+        # (parity: tests/test_parallel.py::test_multidim_mesh_fit_parity)
+        self.mesh = mesh
         from .kernels import MultiDimRQKernel
         self.kernel_func = (MultiDimRQKernel(gamma) if kernel_func is None
                             or kernel_func == 'multi_dim_rq'
@@ -1137,9 +1154,13 @@ class MultiDimDiffCo(Perceptron):
         del method
         X = jnp.asarray(X)
         y = jnp.asarray(y).reshape(-1)
+        N = X.shape[0]
         Xt = self._apply_transform(X)                 # [N, M, d]
         lazy = X.shape[0] > self.lazy_gram_threshold
-        K = None if lazy else self.kernel_func(Xt, Xt)  # [N, N, C]
+        # K: [N, N, C] dense (row-sharded over the mesh when set), or None
+        # on the lazy path; Xt_train/y_train carry the (padded, sharded)
+        # loop inputs and valid keeps padded rows unselected
+        K, Xt_train, y_train, valid = self._mesh_train_inputs(Xt, y, lazy)
 
         init_gains = init_hyp = None
         if update and self.gains is not None:
@@ -1163,20 +1184,31 @@ class MultiDimDiffCo(Perceptron):
                 init_hyp = jnp.einsum('nsc,sc->n', kx, jnp.asarray(vg),
                                       precision='highest')
             else:
-                init_hyp = jnp.sum(K * init_gains[None, :, :], axis=(1, 2))
+                # K[:, :N] covers both cases: without a mesh K is exactly
+                # [N, N, C]; with one it is the row-sharded padded Gram and
+                # the padded columns must not contribute to h
+                init_hyp = jnp.einsum('nsc,sc->n', K[:, :N], init_gains,
+                                      precision='highest')
+            init_gains, init_hyp = self._mesh_pack_warmstart(
+                init_gains, init_hyp, lazy)
         elif update:
             raise ValueError('update=True requires a previously trained '
                              'MultiDimDiffCo (no gains present)')
 
         if lazy:
             gains, hyp, it = multidim_train_loop_lazy(
-                Xt, y, self.kernel_func, self.beta, int(max_iteration),
-                init_gains=init_gains, init_hypothesis=init_hyp)
+                Xt_train, y_train, self.kernel_func, self.beta,
+                int(max_iteration), init_gains=init_gains,
+                init_hypothesis=init_hyp, valid_mask=valid)
         else:
-            gains, hyp, it = multidim_train_loop(K, y, self.beta,
+            gains, hyp, it = multidim_train_loop(K, y_train, self.beta,
                                                  int(max_iteration),
                                                  init_gains=init_gains,
-                                                 init_hypothesis=init_hyp)
+                                                 init_hypothesis=init_hyp,
+                                                 valid_mask=valid)
+        if self.mesh is not None:
+            gains, hyp = gains[:N], hyp[:N]
+            K = None   # support Gram is recomputed from the kept rows
         if verbose:
             acc = float(jnp.mean((hyp > 0) == (y > 0)))
             print(f'MultiDimDiffCo ended at iteration {it}, ACC {acc:.4f}')

@@ -44,3 +44,45 @@ def test_al_resamples_arbitrary_length_init():
         'safety_margin': 0.0, 'max_speed': 2.0, 'seed': 0,
         'init_solution': init})
     assert len(rec['solution']) == 8
+
+
+def test_trustconstr_free_waypoints():
+    """options['free_waypoints']=K optimizes K control points but returns
+    (and constrains) the full N_WAYPOINTS interpolated path: solution
+    shape, pinned endpoints, feasibility on an easy world, and the
+    control rows must actually steer the dense rows (interp contract)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffco_tpu import optim
+    from diffco_tpu.robots import RevolutePlanarRobot
+    from diffco_tpu.geometry import Obstacles2D, planar_robot_signed_dist
+
+    robot = RevolutePlanarRobot(3.5, link_width=0.3, dof=2)
+    obs = Obstacles2D.from_obstacle_list([('circle', (5.0, 5.0), 1.0)])
+
+    def dist_est(q):
+        return jnp.max(planar_robot_signed_dist(robot, obs, q), axis=-1)
+
+    start = jnp.asarray([-2.0, 0.5])
+    target = jnp.asarray([2.0, -0.5])
+    options = {
+        'N_WAYPOINTS': 12, 'NUM_RE_TRIALS': 1, 'MAXITER': 80,
+        'safety_margin': -0.1, 'max_speed': 1.5, 'seed': 0, 'num_sub': 3,
+        'free_waypoints': 5,
+    }
+    rec = optim.trustconstr_traj_optimize(robot, dist_est, start, target,
+                                          options)
+    sol = np.asarray(rec['solution'])
+    assert sol.shape == (12, 2)
+    assert np.allclose(sol[0], np.asarray(start), atol=1e-6)
+    assert np.allclose(sol[-1], np.asarray(target), atol=1e-6)
+    assert rec['feasible'], 'easy world must be feasible at K=5'
+    # the 12-row path is a piecewise-linear function of 5 controls: the
+    # second derivative along each control segment must vanish (rows
+    # strictly inside a control segment are collinear)
+    t = np.linspace(0.0, 4.0, 12)
+    seg = np.minimum(t.astype(int), 3)
+    inner = (seg[1:-1] == seg[:-2]) & (seg[1:-1] == seg[2:])
+    d2 = sol[:-2] - 2 * sol[1:-1] + sol[2:]
+    assert np.allclose(d2[inner], 0.0, atol=1e-5)

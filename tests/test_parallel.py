@@ -382,3 +382,61 @@ def test_fk_checker_mesh_e2e(mesh):
         {'N_WAYPOINTS': 8, 'NUM_RE_TRIALS': 4, 'MAXITER': 20, 'seed': 0,
          'mesh': mesh})
     assert np.all(np.isfinite(np.asarray(rec['solution'])))
+
+
+@pytest.mark.smoke
+def test_multidim_mesh_fit_parity(mesh, key):
+    """MultiDimDiffCo(mesh=...) must reproduce the single-device train
+    exactly on both Gram paths (dense row-sharded / lazy sharded rows):
+    same greedy update sequence -> same vector gains, hypothesis and
+    support set. N=301 is deliberately not a device multiple so the
+    padded rows must stay unselected (valid-mask contract)."""
+    from diffco_tpu.perceptron import MultiDimDiffCo
+    from diffco_tpu.robots import RevolutePlanarRobot
+    from diffco_tpu.geometry import Obstacles2D, planar_robot_signed_dist
+
+    robot = RevolutePlanarRobot(1.0, link_width=0.2, dof=2)
+    obs = Obstacles2D.from_obstacle_list([('circle', (1.5, 1.0), 0.6)])
+    q = robot.rand_configs(301, key)
+    sd = planar_robot_signed_dist(robot, obs, q)
+    y = (jnp.max(sd, -1) > 0) * 2.0 - 1.0
+    make = lambda m: MultiDimDiffCo(
+        kernel_func=kernels.MultiDimRQKernel(10.0),
+        transform=lambda x: robot.fkine(x), mesh=m)
+
+    ref = make(None)
+    ref.train(q, y, max_iteration=900)
+    shd = make(mesh)
+    shd.train(q, y, max_iteration=900)
+    assert shd.num_valid == ref.num_valid
+    assert np.allclose(np.asarray(shd.gains), np.asarray(ref.gains),
+                       atol=1e-4)
+    assert np.allclose(np.asarray(shd.support_points),
+                       np.asarray(ref.support_points), atol=1e-6)
+    assert np.allclose(np.asarray(shd.hypothesis),
+                       np.asarray(ref.hypothesis), atol=1e-3)
+
+    # lazy path (forced): sharded feature rows, same update sequence
+    ref_l = make(None)
+    ref_l.lazy_gram_threshold = 64
+    ref_l.train(q, y, max_iteration=900)
+    shd_l = make(mesh)
+    shd_l.lazy_gram_threshold = 64
+    shd_l.train(q, y, max_iteration=900)
+    assert shd_l.num_valid == ref_l.num_valid
+    assert np.allclose(np.asarray(shd_l.gains), np.asarray(ref_l.gains),
+                       atol=1e-4)
+
+    # warm-start update under the mesh keeps accuracy through the
+    # public update path (exist_mask scatter + packed warm start)
+    nv = shd.num_valid
+    supports = shd.support_points[:nv]
+    q2 = jnp.concatenate([robot.rand_configs(96, jax.random.split(key)[0]),
+                          supports], axis=0)
+    sd2 = planar_robot_signed_dist(robot, obs, q2)
+    y2 = (jnp.max(sd2, -1) > 0) * 2.0 - 1.0
+    exist = jnp.zeros(q2.shape[0], bool).at[-nv:].set(True)
+    shd.train(q2, y2, update=True, exist_mask=exist, max_iteration=900)
+    acc = np.mean((np.asarray(shd.score_original(q2)).reshape(-1) > 0)
+                  == (np.asarray(y2) > 0))
+    assert acc > 0.85
