@@ -274,10 +274,22 @@ class RBFDiffCo(CollisionChecker):
 
     def update(self, q=None, labels=None, dists=None, exploit_std=0.3,
                num_samples=100, num_exploit_samples=None,
-               num_explore_samples=None, verify=False, verbose=False):
-        """Active-learning update after environment changes
-        (ref collision_checkers.py:220-252): exploit samples around current
-        supports + uniform explore samples + the supports themselves."""
+               num_explore_samples=None, verify=False, verbose=False,
+               exploit_paths=None, path_band_scales=(0.05, 0.15, 0.35),
+               path_num_sub=8):
+        """Active-learning update (ref collision_checkers.py:220-252):
+        exploit samples around current supports + uniform explore samples
+        + the supports themselves.
+
+        ``exploit_paths`` — list of [N_i, dof] waypoint paths — switches
+        the exploit set to GT-labeled bands around those paths instead of
+        around the supports (path-targeted active learning: densify the
+        paths, jitter at multiple scales, label with the ground truth,
+        warm-retrain). This is the corridor retraining that closed
+        7d_narrow records in the speed_compare harness (RESULTS.md
+        corridor-AL study), promoted to the product API: feed it the
+        failed trajectory and/or a planner path through the region the
+        proxy mislabels, then re-run the optimizer on the updated proxy."""
         n_exploit = (num_samples if num_exploit_samples is None
                      else num_exploit_samples)
         n_explore = (num_samples if num_explore_samples is None
@@ -300,15 +312,21 @@ class RBFDiffCo(CollisionChecker):
                     'call fit() first')
             supports = np.asarray(self.perceptron.support_points[:nv])
             dof = supports.shape[-1]
-            if n_exploit > nv:
-                reps = -(-n_exploit // nv)
-                centers = np.tile(supports, (reps, 1))[:n_exploit]
-            else:
-                centers = supports[rng.permutation(nv)[:n_exploit]]
             lims = np.asarray(self.robot.joint_limits)
-            exploit = np.clip(
-                centers + rng.normal(size=centers.shape) * exploit_std,
-                lims[:, 0], lims[:, 1])
+            if exploit_paths is not None:
+                from .sampler import path_band_samples
+                exploit = path_band_samples(
+                    exploit_paths, lims, rng, n_total=n_exploit,
+                    num_sub=path_num_sub, scales=path_band_scales)
+            else:
+                if n_exploit > nv:
+                    reps = -(-n_exploit // nv)
+                    centers = np.tile(supports, (reps, 1))[:n_exploit]
+                else:
+                    centers = supports[rng.permutation(nv)[:n_exploit]]
+                exploit = np.clip(
+                    centers + rng.normal(size=centers.shape) * exploit_std,
+                    lims[:, 0], lims[:, 1])
             # bucket the total to a multiple of 256 by drawing extra explore
             # samples: the support count changes every update, and a fresh
             # dataset shape would force the TPU to recompile the training
@@ -491,6 +509,34 @@ class RBFDiffCo(CollisionChecker):
     def unnormalizer(self, normalized_q):
         lims = self.robot.joint_limits
         return normalized_q * (lims[:, 1] - lims[:, 0]) + lims[:, 0]
+
+
+def corridor_update(base_dataset, paths, limits, gt_dist_fn, retrain, rng,
+                    n_total=2048, num_sub=8, scales=(0.05, 0.15, 0.35)):
+    """Path-targeted active learning for bare-perceptron flows.
+
+    The functional twin of ``RBFDiffCo.update(exploit_paths=...)`` for
+    code that holds a raw ``DiffCo`` perceptron + its training dataset
+    rather than a checker object (e.g. benchmark harnesses): draw banded
+    samples around ``paths`` (sampler.path_band_samples), label them with
+    the exact geometry's signed distance ``gt_dist_fn`` (positive =
+    collision, the library convention), widen the dataset, and rebuild
+    the proxy via the caller's ``retrain(cfgs, labels, dists)`` closure —
+    full retrain because a bare perceptron carries no warm-start
+    bookkeeping.
+
+    base_dataset: (cfgs, labels, dists) numpy arrays.
+    Returns (new_checker, samples, signed_dists).
+    """
+    from .sampler import path_band_samples
+    cfgs, labels, dists = base_dataset
+    samples = path_band_samples(paths, limits, rng, n_total=n_total,
+                                num_sub=num_sub, scales=scales)
+    sd = np.asarray(gt_dist_fn(jnp.asarray(samples)))
+    new_cfgs = np.concatenate([cfgs, samples], axis=0)
+    new_labels = np.concatenate([labels, (sd > 0) * 2.0 - 1.0], axis=0)
+    new_dists = np.concatenate([dists, sd], axis=0)
+    return retrain(new_cfgs, new_labels, new_dists), samples, sd
 
 
 class ForwardKinematicsDiffCo(RBFDiffCo):

@@ -760,6 +760,10 @@ def givengrad_traj_optimize(robot, dist_est, start_cfg, target_cfg,
         'success': success,
         'feasible': feasible,
         'seed': int(o['seed']),
+        # the density is computed ONCE from the straight-line start-target
+        # distance (the reference recomputes dense_path(p, max_speed) per
+        # evaluation); record it so the approximation is visible at runtime
+        'num_sub': num_sub,
         'solution': sol.tolist(),
     }
 
@@ -934,8 +938,6 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
                                     k_ctrl)).astype(int)
 
     def _build(wrap, jdt):
-        W = jnp.asarray(W_np, jdt)
-
         def assemble(x):
             x = jnp.asarray(x, jdt).reshape(-1, dof)
             s = jnp.asarray(start_np, jdt)[None]
@@ -943,6 +945,10 @@ def trustconstr_traj_optimize(robot, dist_est, start_cfg, target_cfg,
             ctrl = jnp.concatenate([s, x, t], axis=0)
             if k_ctrl == n_waypoints:
                 return ctrl
+            # W is converted at trace time (inside the x64 context the
+            # f64 scipy backend traces under) — converting at _build time
+            # ran outside that scope and silently truncated to f32
+            W = jnp.asarray(W_np, jdt)
             return jnp.matmul(W, ctrl, precision='highest')
 
         def con_collision(x):

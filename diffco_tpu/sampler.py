@@ -163,3 +163,50 @@ def uniform_sample_on_transformed_manifold(robot, transform: Callable,
         accepted.append(np.asarray(
             robot.rand_configs(num_samples - count, sub)))
     return jnp.asarray(np.concatenate(accepted, axis=0)[:num_samples])
+
+
+def path_band_samples(paths, limits, rng, n_total=2048, num_sub=8,
+                      scales=(0.05, 0.15, 0.35)):
+    """Jittered bands around densified path(s): the corridor exploit set
+    for path-targeted active learning (the paper's exploitation idea, ref
+    collision_checkers.py:220-252, aimed at caller-provided paths instead
+    of the support set).
+
+    Multiple noise scales matter: the tightest band labels the corridor
+    interior (mostly free — teaches the proxy the passage EXISTS), the
+    wider bands straddle the walls (teaches where it ENDS). Uniform
+    leftovers keep the total at exactly ``n_total``, so retrain programs
+    keep a fixed shape (shape drift on TPU = ~1 min recompile per update).
+
+    paths: iterable of [N_i, dof] waypoint arrays (N_i >= 2).
+    limits: [dof, 2] joint limits. rng: host numpy RandomState/Generator.
+    Returns [n_total, dof] float32, clipped to limits.
+    """
+    limits = np.asarray(limits, np.float64)
+    bands = []
+    for path in paths:
+        p = np.asarray(path, np.float32)
+        if p.ndim != 2 or p.shape[0] < 2:
+            continue
+        fr = (np.arange(num_sub, dtype=np.float32) / num_sub)[None, :, None]
+        dense = (p[:-1][:, None, :]
+                 + fr * (p[1:] - p[:-1])[:, None, :]).reshape(-1, p.shape[1])
+        bands.append(dense)
+    if not bands:
+        raise ValueError('path_band_samples needs at least one path with '
+                         '>= 2 waypoints')
+    dense = np.concatenate(bands, axis=0)
+    n_band = int(n_total * 0.9)
+    per_scale = n_band // len(scales)
+    out = []
+    for s in scales:
+        idx = rng.randint(0, dense.shape[0], per_scale) \
+            if hasattr(rng, 'randint') \
+            else rng.integers(0, dense.shape[0], per_scale)
+        out.append(dense[idx] + rng.normal(size=(per_scale,
+                                                 dense.shape[1])) * s)
+    n_uniform = n_total - per_scale * len(scales)
+    out.append(rng.uniform(limits[:, 0], limits[:, 1],
+                           (n_uniform, dense.shape[1])))
+    return np.clip(np.concatenate(out, axis=0),
+                   limits[:, 0], limits[:, 1]).astype(np.float32)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from diffco_tpu import kernels, optim, routines, utils
+from diffco_tpu.checkers import corridor_update
 from diffco_tpu.perceptron import DiffCo
 from diffco_tpu.geometry import (Obstacles2D, planar_robot_signed_dist,
                                  planar_robot_collision)
@@ -311,9 +312,17 @@ def _wp_for_init(path_len, base_n, cap=60, step=10):
     invalid, resampled-to-30+ valid) — every plan-seeded optimization
     must run at the plan's own resolution. Buckets of ``step`` bound the
     per-env compile count (each distinct N_WAYPOINTS is one more jitted
-    trajopt program)."""
+    trajopt program). Plans longer than ``cap`` ARE resampled below their
+    own resolution — exactly the validity-destroying mode above — so the
+    cap is loud, not silent: downstream callers re-validate the smoothed
+    result against GT anyway, but the log line marks the suspect runs."""
     if path_len <= base_n:
         return base_n
+    if path_len > cap:
+        print(f'    [wp_for_init] plan length {path_len} exceeds cap '
+              f'{cap}: resampling BELOW plan resolution (validity of the '
+              f'seeded run may be degraded; GT re-validation still '
+              f'applies)', flush=True)
     return min(cap, int(np.ceil(path_len / step) * step))
 
 
@@ -359,51 +368,10 @@ CORRIDOR_BUCKET = 2048  # fixed corridor-sample count: the retrain program
 #     and the re-fit poly solve compile ONCE per env (shape drift on the
 #     TPU would recompile ~1 min per failing problem)
 
-
-def corridor_band_samples(paths, limits, rng, n_total=CORRIDOR_BUCKET,
-                          num_sub=8, scales=(0.05, 0.15, 0.35)):
-    """Jittered bands around densified path(s): the corridor exploit set.
-
-    Multiple noise scales matter: the tightest band labels the corridor
-    interior (mostly free — teaches the proxy the passage EXISTS), the
-    wider bands straddle the walls (teaches where it ENDS). Uniform
-    leftovers keep the total at exactly ``n_total`` for shape stability.
-    """
-    bands = []
-    for path in paths:
-        p = np.asarray(path, np.float32)
-        if p.shape[0] < 2:
-            continue
-        fr = (np.arange(num_sub, dtype=np.float32) / num_sub)[None, :, None]
-        dense = (p[:-1][:, None, :]
-                 + fr * (p[1:] - p[:-1])[:, None, :]).reshape(-1, p.shape[1])
-        bands.append(dense)
-    dense = np.concatenate(bands, axis=0)
-    n_band = int(n_total * 0.9)
-    per_scale = n_band // len(scales)
-    out = []
-    for s in scales:
-        idx = rng.randint(0, dense.shape[0], per_scale)
-        out.append(dense[idx] + rng.normal(size=(per_scale,
-                                                 dense.shape[1])) * s)
-    n_uniform = n_total - per_scale * len(scales)
-    out.append(rng.uniform(limits[:, 0], limits[:, 1],
-                           (n_uniform, dense.shape[1])))
-    return np.clip(np.concatenate(out, axis=0),
-                   limits[:, 0], limits[:, 1]).astype(np.float32)
-
-
-def build_corridor_checker(base_dataset, samples, gt_label_fn, retrain):
-    """Retrain the proxy on base + corridor samples (GT-labeled).
-    ``retrain`` is the env family's training closure — it rebuilds the
-    SAME proxy (kernel, transform, fit target) the family's build step
-    trained, just on the widened dataset."""
-    cfgs, labels, dists = base_dataset
-    sd = np.asarray(gt_label_fn(jnp.asarray(samples)))  # [N] signed dist
-    new_cfgs = np.concatenate([cfgs, samples], axis=0)
-    new_labels = np.concatenate([labels, (sd > 0) * 2.0 - 1.0], axis=0)
-    new_dists = np.concatenate([dists, sd], axis=0)
-    return retrain(new_cfgs, new_labels, new_dists)
+# the corridor stage itself is a product surface now
+# (diffco_tpu.checkers.corridor_update wrapping sampler.path_band_samples;
+# checker objects expose the same thing as update(exploit_paths=...)) —
+# the harness just calls it with the family's retrain closure
 
 
 def run_method(method, robot, checker, fns, start, target, options):
@@ -510,6 +478,13 @@ def main():
     p.add_argument('--fit-target', default='dist',
                    choices=['dist', 'label'])
     p.add_argument('--safety-margin', type=float, default=-0.3)
+    p.add_argument('--trustconstr-free-waypoints', type=int, default=0,
+                   help='control-waypoint count for trustconstr '
+                        '(options["free_waypoints"]). 0 = auto: 8 on '
+                        'dof>=7 envs, full elsewhere — measured 2.5x '
+                        'faster AND GT-valid 1.0 vs 0.6 at full (study: '
+                        'benchmarks/trustconstr_free_waypoints.json); '
+                        '-1 = always full')
     p.add_argument('--test-configs-dir', default=None,
                    help='directory of generate_test_configs.py JSONs; '
                         'problems are sampled inline when absent')
@@ -576,6 +551,17 @@ def main():
                    'safety_margin': bundle['margin'],
                    'dense_sub': 3,
                    'max_speed': 2.0, 'seed': args.seed}
+        # coarse control waypoints for trustconstr on high-DOF envs: the
+        # [n_free, n_free] constraint Hessian + scipy's interior-point
+        # algebra are superlinear in n_free, and the K=8 problem is also
+        # BETTER conditioned (trustconstr_free_waypoints.json: 2.5x
+        # faster, feasible 0.8->1.0, GT-valid 0.6->1.0 on 3circle_7d)
+        tc_k = args.trustconstr_free_waypoints
+        if tc_k == 0:
+            tc_k = 8 if dof >= 7 else None
+        elif tc_k < 0:
+            tc_k = None
+        tc_extra = {'free_waypoints': tc_k} if tc_k else {}
         # GT plans for the repair escalation, computed lazily ONCE per
         # problem and shared by every method's repair (the plan depends
         # only on the env geometry and endpoints, not the method)
@@ -586,8 +572,10 @@ def main():
                 continue
             recs = []
             for pi, (s, t) in enumerate(pairs):
-                rec = run_method(method, robot, checker, fns, s, t,
-                                 {**options, 'seed': args.seed + pi})
+                rec = run_method(
+                    method, robot, checker, fns, s, t,
+                    {**options, 'seed': args.seed + pi,
+                     **(tc_extra if method == 'trustconstr' else {})})
                 rec['valid'] = validate_gt(gt_col,
                                         np.asarray(rec['solution']))
                 if not rec['valid']:
@@ -618,21 +606,21 @@ def main():
                             rounds += 1
                             if rounds == 1:
                                 if pi not in corridor_worlds:
-                                    smp = corridor_band_samples(
-                                        [gt_plans[pi]], limits_np, rng_al)
-                                    ck2 = build_corridor_checker(
-                                        base_dataset, smp, gt_label_fn,
-                                        bundle['retrain'])
+                                    ck2, _, _ = corridor_update(
+                                        base_dataset, [gt_plans[pi]],
+                                        limits_np, gt_label_fn,
+                                        bundle['retrain'], rng_al,
+                                        n_total=CORRIDOR_BUCKET)
                                     corridor_worlds[pi] = (
                                         ck2, bundle['score_fns'](ck2))
                                 ck2, fns2 = corridor_worlds[pi]
                             else:
-                                smp = corridor_band_samples(
+                                ck2, _, _ = corridor_update(
+                                    base_dataset,
                                     [gt_plans[pi]] + failed_paths,
-                                    limits_np, rng_al)
-                                ck2 = build_corridor_checker(
-                                    base_dataset, smp, gt_label_fn,
-                                    bundle['retrain'])
+                                    limits_np, gt_label_fn,
+                                    bundle['retrain'], rng_al,
+                                    n_total=CORRIDOR_BUCKET)
                                 fns2 = bundle['score_fns'](ck2)
                             # corridor re-run, three measured rules
                             # (debug record: RESULTS.md 7d_narrow AL

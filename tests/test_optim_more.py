@@ -1,9 +1,10 @@
 
 
-def test_al_resamples_arbitrary_length_init():
+def test_al_resamples_arbitrary_length_init_near_margin():
     """al_traj_optimize must accept planner inits of any length
     (regression: a 70-waypoint RRT path at N_WAYPOINTS=60 crashed with a
-    broadcast error — the only optimizer core without _resample_init)."""
+    broadcast error — the only optimizer core without _resample_init).
+    Variant with scores near the margin (-10)."""
     import jax.numpy as jnp
     from diffco_tpu import optim
     from diffco_tpu.robots import RevolutePlanarRobot

@@ -87,20 +87,25 @@ def test_trustconstr_constraint_forms_same_record_schema():
         assert np.asarray(rec['solution']).shape == (5, 2)
 
 
-def test_corridor_band_samples_shape_and_limits():
+def test_path_band_samples_shape_and_limits():
+    # product API (promoted from the harness's corridor_band_samples);
+    # the harness's CORRIDOR_BUCKET default must keep the fixed shape
     import os
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
                                     'scripts'))
-    from speed_compare import corridor_band_samples, CORRIDOR_BUCKET
-    rng = np.random.RandomState(0)
+    from speed_compare import CORRIDOR_BUCKET
+    from diffco_tpu.sampler import path_band_samples
     limits = np.asarray([[-1.0, 1.0]] * 3)
     plan = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.2, -0.3],
                        [0.9, 0.9, 0.9]])
     failed = np.asarray([[0.0, 0.0, 0.0], [0.9, 0.9, 0.9]])
-    for paths in ([plan], [plan, failed]):
-        s = corridor_band_samples(paths, limits, rng)
-        # fixed bucket (shape-stability invariant) and clipped to limits
-        assert s.shape == (CORRIDOR_BUCKET, 3)
-        assert s.dtype == np.float32
-        assert np.all(s >= -1.0) and np.all(s <= 1.0)
+    for rng in (np.random.RandomState(0),       # harness-style
+                np.random.default_rng(0)):      # checker _next_rng-style
+        for paths in ([plan], [plan, failed]):
+            s = path_band_samples(paths, limits, rng,
+                                  n_total=CORRIDOR_BUCKET)
+            # fixed bucket (shape-stability invariant), clipped to limits
+            assert s.shape == (CORRIDOR_BUCKET, 3)
+            assert s.dtype == np.float32
+            assert np.all(s >= -1.0) and np.all(s <= 1.0)

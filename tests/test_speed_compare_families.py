@@ -44,14 +44,16 @@ def test_bundle_contract(env_name, want_dof):
     col = np.asarray(b['gt_col'](q))
     assert col.shape == (8,)
     assert np.array_equal(col, np.asarray(fns['gt_dist'](q)) > 0)
-    # corridor retraining rebuilds a proxy of the same kind on a widened
-    # dataset and validate_gt accepts its trajectories
+    # corridor retraining (the public corridor_update API the harness now
+    # calls) rebuilds a proxy of the same kind on a widened dataset
+    from diffco_tpu.checkers import corridor_update
     cfgs, labels, dists = b['base_dataset']
     assert len(cfgs) == 400 and cfgs.shape[1] == want_dof
-    extra = cfgs[:32] + 0.01
-    ck2 = sc.build_corridor_checker(
-        (cfgs, labels, dists), extra.astype(np.float32),
-        fns['gt_dist'], b['retrain'])
+    path = np.stack([cfgs[0], cfgs[1]])
+    ck2, samples, sd = corridor_update(
+        (cfgs, labels, dists), [path], limits, fns['gt_dist'],
+        b['retrain'], np.random.RandomState(0), n_total=64)
+    assert samples.shape == (64, want_dof) and sd.shape == (64,)
     assert type(ck2) is type(b['checker'])
     v2 = np.asarray(b['score_fns'](ck2)['proxy_dist'](q))
     assert np.all(np.isfinite(v2))
