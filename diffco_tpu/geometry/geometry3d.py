@@ -180,17 +180,28 @@ def scene_from_dict(shapes: Dict[str, dict], mesh_spheres: int = 16,
                         float(params['height']) / 2))
             cap_n.append(name)
         elif kind == 'Mesh':
-            path = params.get('file_obj') or params.get('file_stl') \
-                or params.get('path')
             scale = float(params.get('scale', 1.0))
-            # cache the LOCAL-frame decomposition per (path, scale, n):
+            # cache the LOCAL-frame decomposition per (source, scale, n):
             # ShapeEnv rebuilds the scene on every update_transform, and
             # re-reading + re-clustering each mesh per obstacle move would
             # dominate the advertised no-recompile fast path
-            ck = (path, scale, mesh_spheres)
+            if 'vertices' in params:
+                # inline geometry (e.g. MoveIt .scene meshes carry their
+                # vertex/triangle lists in the file, no asset on disk)
+                verts0 = np.asarray(params['vertices'], np.float32)
+                faces0 = np.asarray(params['faces'], np.int32)
+                ck = ('inline', verts0.tobytes(), faces0.tobytes(),
+                      scale, mesh_spheres)
+            else:
+                path = params.get('file_obj') or params.get('file_stl') \
+                    or params.get('path')
+                ck = (path, scale, mesh_spheres)
             hit = _mesh_sphere_cache.get(ck)
             if hit is None:
-                verts, faces = load_mesh(path)
+                if 'vertices' in params:
+                    verts, faces = verts0, faces0
+                else:
+                    verts, faces = load_mesh(path)
                 verts = verts * scale
                 hit = spheres_from_mesh(verts, faces,
                                         n_spheres=mesh_spheres)
