@@ -224,6 +224,22 @@ acc_u, tpr_u, tnr_u = checker.verify(
 print(f'post-move verify  acc={acc_u:.3f} tpr={tpr_u:.3f}')
 """)
 
+md("""**Path-targeted update** — when the optimizer keeps failing in one
+region (a narrow passage the uniform training set never sampled), feed
+`update` the failing trajectory and/or a planner path through the
+region: it retrains on ground-truth-labeled jittered bands around those
+paths instead of around the supports, then you re-run the optimizer on
+the sharpened proxy.""")
+
+code("""
+failed_path = np.asarray(rec['solution'])  # the optimizer's output
+t0 = time.time()
+checker.update(exploit_paths=[failed_path],
+               num_exploit_samples=256 if QUICK else 1024)
+print(f'path-targeted update {time.time() - t0:.1f}s  '
+      f'supports={checker.perceptron.num_valid}')
+""")
+
 md("""## 7. Scale out over a device mesh
 
 Every step above scales over multiple chips by passing a
