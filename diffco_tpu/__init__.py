@@ -35,7 +35,7 @@ from .checkers import (
     CollisionChecker, RBFDiffCo, ForwardKinematicsDiffCo,
     HybridForwardKinematicsDiffCo, OptimisticChecker,
 )
-from .envs import ShapeEnv, CollisionEnv
+from .envs import ShapeEnv, CollisionEnv, load_moveit_scene
 from .envs.shape_env import PCDEnv
 from . import geometry
 from . import profiling

@@ -57,3 +57,11 @@ python scripts/line_query_eval.py --num-train 4000
 python scripts/trajopt_2d.py --env 7d_narrow --dof 7 --link-length 1.0 \
     --num-samples 12000 --maxiter 300 --trials 10 --safety-margin -0.5 \
     --init rrt --output benchmarks/trajopt_7d_narrow.json
+
+# narrow-passage representation study (FK workspace features /
+# multi-class clusters vs the raw-config proxy on 7d_narrow)
+python scripts/run_cpu.py scripts/narrow_fk_study.py
+
+# torch-baseline thread-scaling curve (run on the biggest host available;
+# records nproc so 1-core curves stay honest)
+python scripts/baseline_scaling.py
