@@ -79,6 +79,19 @@ def build_world(env_name, dof, link_length, num_train, seed,
 #                  planar arms live in a ~7-unit box, the Baxter scene
 #                  in meters)
 
+# Envs whose proxy trains on FK WORKSPACE features (link endpoints via
+# robot.fkine) instead of raw joint angles — the reference's own design
+# answer for cluttered scenes (ref collision_checkers.py:345-394,
+# FKDiffCo). Measured on 7d_narrow (benchmarks/narrow_fk_study.json,
+# round 5): raw-config RQ cannot pin the 300-box wall (corridor-band acc
+# 0.47; a corridor retrain carves false-free tunnels), while RQ(0.1) on
+# fkine features reads band acc 0.81 / missed-col 0.027, is GT-valid on
+# 2/5 staged problems single-init (raw: 0/5), and after a corridor
+# retrain THREADS the targeted corridor strictly (raw+al: 0/5).
+FK_FEATURE_ENVS = {'7d_narrow'}
+FK_FEATURE_GAMMA = 0.1
+
+
 def _planar_bundle(env_name, dof, args):
     link_length = args.link_length * 2 / dof
     robot, obs, checker, base = build_world(
@@ -88,13 +101,24 @@ def _planar_bundle(env_name, dof, args):
     def score_fns(ck):
         return make_score_fns(robot, obs, ck)
 
+    fk_features = env_name in FK_FEATURE_ENVS
+
     def retrain(cfgs, labels, dists):
-        ck = DiffCo(kernel_func=kernels.RQKernel(10.0))
+        if fk_features:
+            ck = DiffCo(kernel_func=kernels.RQKernel(FK_FEATURE_GAMMA),
+                        transform=robot.fkine)
+        else:
+            ck = DiffCo(kernel_func=kernels.RQKernel(10.0))
         ck.train(jnp.asarray(cfgs), jnp.asarray(labels),
                  max_iteration=3 * len(cfgs),
                  distance=jnp.asarray(dists))
         ck.fit_poly(kernels.Polyharmonic(1, 1), target=args.fit_target)
         return ck
+
+    if fk_features:
+        # retrain the proxy on FK features; build_world's raw-config
+        # checker is discarded (the base dataset is reused as-is)
+        checker = retrain(*base)
 
     return {'robot': robot, 'checker': checker, 'score_fns': score_fns,
             'gt_col': lambda q: planar_robot_collision(robot, obs, q),
