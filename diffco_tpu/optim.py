@@ -463,12 +463,13 @@ def adam_traj_optimize_batch(robot, dist_est, start_cfgs, target_cfgs,
     jax.jit,
     static_argnames=('robot_fkine', 'dist_est', 'n_waypoints', 'num_trials',
                      'outer_iters', 'inner_iters', 'lr', 'num_sub',
-                     'trial_sharding'))
+                     'restore_iters', 'trial_sharding'))
 def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
                   robot_fkine: Callable, dist_est: Callable,
                   n_waypoints: int, num_trials: int, outer_iters: int,
                   inner_iters: int, lr: float, safety_margin,
-                  num_sub: int, trial_sharding=None):
+                  num_sub: int, restore_iters: int = 0,
+                  trial_sharding=None):
     """Augmented-Lagrangian trajopt, vmapped over restarts.
 
     Constraints (match givengrad_traj_optimize, optim.py:190-226):
@@ -478,6 +479,16 @@ def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
     Objective: sum of squared control-point displacements.
     Inner minimization: Adam on the AL; outer: multiplier updates
     lambda <- max(0, lambda + mu * g).
+
+    ``restore_iters > 0`` appends a feasibility-restoration phase: Adam
+    on 0.5*sum(g^2) ALONE, each trial frozen the step it first reaches
+    max(g) <= 1e-4. Measured motivation (benchmarks/baxter_al_budget.json):
+    when the collision constraint is active at the optimum the AL outer
+    loop's residual decays with budget (22mm -> 0.3mm over a 16x sweep on
+    baxter_default) but plateaus ABOVE the 1e-4 strict-success gate;
+    polishing feasibility alone at the DEFAULT budget closes the same
+    problem from 22mm to 0.1mm (restore400), and gradient descent on
+    sum(g^2) only ever moves the path AWAY from violated constraints.
     """
     dof = start_cfg.shape[-1]
 
@@ -540,6 +551,32 @@ def _al_traj_core(start_cfg, target_cfg, limits, init_first, key,
 
         (p, _, _), _ = lax.scan(outer, (p0, lam0, mu0),
                                 None, length=outer_iters)
+
+        if restore_iters:
+            def feas_loss(p):
+                g = constraints(p)
+                return 0.5 * jnp.sum(g * g), jnp.max(g)
+
+            feas_grad = jax.value_and_grad(feas_loss, has_aux=True)
+            r_opt = optax.adam(lr)
+
+            def restore(carry, _):
+                p, opt_state, done = carry
+                (_, gmax), gr = feas_grad(p)
+                done = jnp.logical_or(done, gmax <= 1e-4)
+                freeze = done.astype(p.dtype)
+                gr = gr * endpoint_mask
+                updates, new_state = r_opt.update(gr, opt_state, p)
+                p_new = optax.apply_updates(p, jax.tree.map(
+                    lambda u: u * (1.0 - freeze), updates))
+                opt_state = jax.tree.map(
+                    lambda a, b: jnp.where(done, a, b), opt_state, new_state)
+                return (jnp.where(done, p, p_new), opt_state, done), None
+
+            (p, _, _), _ = lax.scan(
+                restore, (p, r_opt.init(p), jnp.asarray(False)),
+                None, length=restore_iters)
+
         g = constraints(p)
         feasible = jnp.max(g) <= 1e-4
         return p, objective(p), jnp.sum(g), feasible
@@ -562,6 +599,13 @@ def al_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
     o.setdefault('outer_iters', 10)
     o.setdefault('inner_iters', max(1, int(o['MAXITER']) // 10))
     o.setdefault('num_sub', 4)
+    # feasibility-restoration epilogue (see _al_traj_core docstring);
+    # 'restore_iters': 0 disables. 400 is the measured sufficient budget
+    # (benchmarks/baxter_al_budget.json: restore100 leaves 5.5 mm on the
+    # worst baxter_default problem, restore400 closes it to 0.1 mm); the
+    # epilogue is execution-cheap (~0.1 s post-compile) because frozen
+    # trials no-op once strictly feasible.
+    o.setdefault('restore_iters', 400)
     lr = float(o['extra_optimizer_options'].get('lr', 1e-1))
     start_cfg = jnp.asarray(start_cfg, jnp.float32)
     target_cfg = jnp.asarray(target_cfg, jnp.float32)
@@ -589,14 +633,16 @@ def al_traj_optimize(robot, dist_est, start_cfg, target_cfg, options=None):
         start_cfg, target_cfg, limits, init_first, key,
         robot.fkine, dist_est, n_waypoints, num_trials,
         int(o['outer_iters']), int(o['inner_iters']), lr, margin,
-        int(o['num_sub']), trial_sharding=trial_sharding)
+        int(o['num_sub']), restore_iters=int(o['restore_iters']),
+        trial_sharding=trial_sharding)
     elapsed = time.time() - start_t
     n_dense = (n_waypoints - 1) * int(o['num_sub']) + 1
     return {
         'start_cfg': np.asarray(start_cfg).tolist(),
         'target_cfg': np.asarray(target_cfg).tolist(),
-        'cnt_check': num_trials * int(o['outer_iters'])
-        * int(o['inner_iters']) * n_dense,
+        'cnt_check': num_trials * (int(o['outer_iters'])
+                                   * int(o['inner_iters'])
+                                   + int(o['restore_iters'])) * n_dense,
         'cost': float(cost),
         'time': elapsed,
         'success': bool(success),

@@ -27,12 +27,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from diffco_tpu import optim
 from speed_compare import build_env_bundle, load_test_configs, validate_gt
 
 OUT = 'benchmarks/baxter_al_budget.json'
+SEED = 1917  # the matrix run's --seed default
 
 
 class A:
@@ -49,15 +51,31 @@ def main():
     fns = b['score_fns'](checker)
     pairs = load_test_configs('benchmarks/test_configs',
                               'baxter_default', 7, 5)
-    assert pairs is not None
+    if pairs is None:
+        # replicate speed_compare.main's fallback pair generation
+        # bit-exactly (same key offset, same free-filtered indexing) so
+        # the study diagnoses the SAME problems the matrix row ran
+        key = jax.random.PRNGKey(SEED + 7)
+        q = b['robot'].rand_configs(512, key)
+        free = ~np.asarray(b['gt_col'](q))
+        idx = np.where(free)[0]
+        assert len(idx) >= 10
+        pairs = [(q[idx[2 * i]], q[idx[-1 - 2 * i]]) for i in range(5)]
     out = {'env': 'baxter_default', 'margin': float(b['margin']),
            'tolerance': 1e-4, 'problems': [1, 3], 'sweeps': {}}
     if os.path.exists(OUT):
         out = json.load(open(OUT))
         out.setdefault('sweeps', {})
-    for outer, maxiter in ((10, 200), (20, 200), (10, 400), (20, 400),
-                           (40, 800)):
+    # (outer, MAXITER, restore_iters): the budget rows sweep the AL loop
+    # alone (restore 0); the restore rows measure the feasibility-
+    # restoration epilogue (optim._al_traj_core) closing the plateau at
+    # the DEFAULT budget
+    for outer, maxiter, restore in (
+            (10, 200, 0), (20, 200, 0), (10, 400, 0), (20, 400, 0),
+            (40, 800, 0), (10, 200, 100), (10, 200, 400)):
         key = f'outer{outer}_iter{maxiter}'
+        if restore:
+            key += f'_restore{restore}'
         if key in out['sweeps']:
             print(f'{key}: cached, skipping', flush=True)
             continue
@@ -66,7 +84,8 @@ def main():
             s, t = pairs[pi]
             o = {'N_WAYPOINTS': 20, 'NUM_RE_TRIALS': 5, 'MAXITER': maxiter,
                  'safety_margin': b['margin'], 'dense_sub': 3,
-                 'max_speed': 2.0, 'seed': 1917 + pi, 'outer_iters': outer}
+                 'max_speed': 2.0, 'seed': SEED, 'outer_iters': outer,
+                 'restore_iters': restore}
             t0 = time.time()
             r = optim.al_traj_optimize(robot, fns['proxy_dist'],
                                        jnp.asarray(s), jnp.asarray(t), o)

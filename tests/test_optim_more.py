@@ -87,3 +87,46 @@ def test_trustconstr_free_waypoints():
     inner = (seg[1:-1] == seg[:-2]) & (seg[1:-1] == seg[2:])
     d2 = sol[:-2] - 2 * sol[1:-1] + sol[2:]
     assert np.allclose(d2[inner], 0.0, atol=1e-5)
+
+
+def test_al_feasibility_restoration_closes_residual_violation():
+    """The restoration epilogue (optim._al_traj_core restore_iters) must
+    close the mm-scale residual the AL outer loop leaves when the
+    collision constraint is active at the optimum (measured on
+    baxter_default: benchmarks/baxter_al_budget.json — violation decays
+    22mm -> 0.3mm over a 16x budget sweep but plateaus above the 1e-4
+    strict gate). Starved-budget AL on a disk obstacle reproduces the
+    plateau deterministically; restoration alone must reach the gate."""
+    import jax.numpy as jnp
+    import numpy as np
+    from diffco_tpu import optim
+
+    class PointRobot:
+        limits = jnp.asarray([[-4.0, 4.0]] * 2, jnp.float32)
+
+        @staticmethod
+        def fkine(p):
+            return p
+
+    def dist_est(q):  # disk obstacle at the origin, radius 1
+        return 1.0 - jnp.linalg.norm(q, axis=-1)
+
+    s = jnp.asarray([-2.0, -2.0], jnp.float32)
+    t = jnp.asarray([2.0, 2.0], jnp.float32)
+    base = {'N_WAYPOINTS': 12, 'NUM_RE_TRIALS': 1, 'MAXITER': 100,
+            'safety_margin': -0.05, 'seed': 3, 'outer_iters': 2,
+            'inner_iters': 5}
+    starved = optim.al_traj_optimize(
+        PointRobot, dist_est, s, t, dict(base, restore_iters=0))
+    restored = optim.al_traj_optimize(
+        PointRobot, dist_est, s, t, dict(base, restore_iters=200))
+    # the starved run must actually exhibit the plateau for the test to
+    # mean anything
+    assert not starved['success']
+    assert starved['max_violation'] > 1e-4
+    assert restored['success']
+    assert restored['max_violation'] <= 1e-4
+    # restoration only pushes the path AWAY from the obstacle: every
+    # waypoint of the restored path clears the (negative) margin
+    sol = np.asarray(restored['solution'])
+    assert (1.0 - np.linalg.norm(sol, axis=-1) <= -0.05 + 1e-4).all()
