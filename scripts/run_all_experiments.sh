@@ -62,6 +62,10 @@ python scripts/trajopt_2d.py --env 7d_narrow --dof 7 --link-length 1.0 \
 # multi-class clusters vs the raw-config proxy on 7d_narrow)
 python scripts/run_cpu.py scripts/narrow_fk_study.py
 
+# AL strict-success plateau diagnosis + feasibility-restoration sweep
+# (baxter_default; resumes per sweep key)
+python scripts/baxter_al_budget_study.py
+
 # torch-baseline thread-scaling curve (run on the biggest host available;
 # records nproc so 1-core curves stay honest)
 python scripts/baseline_scaling.py
