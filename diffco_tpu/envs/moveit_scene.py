@@ -95,7 +95,11 @@ def parse_scene_text(text: str) -> Tuple[str, Dict[str, dict]]:
         # newer MoveIt writes an object-level pose (3-float + 4-float
         # lines) before the shape count; older writes the count directly
         obj_T = np.eye(4)
-        tokens = L.peek().split()
+        nxt = L.peek()
+        if nxt is None:
+            raise ValueError(f'unexpected end of .scene file after object '
+                             f'{obj_name!r}')
+        tokens = nxt.split()
         if len(tokens) == 3:
             pos = L.floats(3)
             quat = L.floats(4)
